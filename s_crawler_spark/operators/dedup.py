@@ -1,0 +1,113 @@
+"""Crawl-side dedup operators (SURVEY.md §2.3 J1, §2.4 A5, §2.8).
+
+All dedup here is *order-sensitive*: the reference keeps the first occurrence
+in crawl order, so every operator takes an explicit ``seq`` ordering column
+instead of relying on ``dropDuplicates`` (whose choice is arbitrary under
+parallelism — SURVEY.md §7 hard part #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_occurrence(df: DataFrame, key: str, seq_col: str = "seq") -> DataFrame:
+    """A5 — keep the first row per key in ``seq`` order (reference
+    check_duplicates.py:29-35 / src/link_collector.py:49-55 semantics).
+    NULL keys are all kept (no key to collide on).
+
+    Scale note: one hash shuffle on ``key``; the window is per-key (no global
+    sort). Skewed keys are split by AQE.
+    """
+    w = Window.partitionBy(key).orderBy(seq_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col(key).isNull() | (F.col("__rn") == 1)).drop("__rn")
+    )
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str) -> DataFrame:
+    """J1/P8 — candidates ∖ seen on ``key``; NULL-keyed candidates are kept
+    (the reference only dedups candidates that *have* a DOI,
+    src/link_collector.py:51-52). Equi-left_anti already keeps NULL keys.
+
+    Scale note: when ``seen`` is a per-wave increment it is usually small →
+    Spark broadcasts it; the 10^10-key catalog case goes through
+    operators/seen.py (Bloom prefilter + exact backstop) instead.
+    """
+    return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")
+
+
+def tiered_insert_dedup(df: DataFrame, seq_col: str = "seq",
+                        doi_col: str = "doi", md5_col: str = "content_md5",
+                        title_col: str = "title",
+                        catalog: DataFrame | None = None) -> DataFrame:
+    """Exact distributed form of the reference's sequential tiered insert
+    dedup (reference src/database_manager.py:28-46): rows are inserted in
+    ``seq`` order; a row with a DOI is dropped iff a stored row has that DOI;
+    a DOI-less row is dropped iff a stored row shares its MD5; a DOI-less,
+    MD5-less row is dropped iff a stored row shares its title.
+
+    The sequential recurrence ("stored" depends on earlier stores) admits a
+    closed form because blocking is monotone in seq:
+
+    - tier 1 (has DOI): first-by-seq per DOI survives — later DOI-ful rows
+      never consult MD5/title, and DOI-less rows never block them.
+    - tier 2 (no DOI, has MD5): survives iff it is first-by-seq in its MD5
+      group among tier-2 rows AND no tier-1 *survivor* with the same MD5 has
+      smaller seq. (If such a survivor blocks the group's first row it also
+      blocks every later one, so group-first + the min-seq check is exact.)
+    - tier 3 (no DOI, no MD5): same with titles against tier-1 ∪ tier-2
+      survivors' titles.
+
+    ``catalog`` (prior waves) contributes DOI/MD5/title block-sets with
+    effective seq -∞.
+
+    Scale note: three key-partitioned windows + two small aggregate joins;
+    no global sort, no driver loop.
+    """
+    has_doi = F.col(doi_col).isNotNull()
+    has_md5 = F.col(md5_col).isNotNull()
+
+    # --- tier 1 ---
+    t1 = first_occurrence(df.filter(has_doi), doi_col, seq_col)
+    if catalog is not None:
+        t1 = anti_join_seen(t1, catalog.filter(F.col(doi_col).isNotNull()), doi_col)
+
+    # --- tier 2 ---
+    t2_cand = df.filter(~has_doi & has_md5)
+    w2 = Window.partitionBy(md5_col).orderBy(seq_col)
+    t2_first = (t2_cand.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+    t1_md5 = t1.filter(F.col(md5_col).isNotNull()).groupBy(md5_col).agg(
+        F.min(seq_col).alias("__t1_min_seq"))
+    t2 = (t2_first.join(t1_md5, on=md5_col, how="left")
+          .filter(F.col("__t1_min_seq").isNull()
+                  | (F.col("__t1_min_seq") > F.col(seq_col)))
+          .drop("__t1_min_seq"))
+    if catalog is not None:
+        t2 = anti_join_seen(t2, catalog.filter(F.col(md5_col).isNotNull()), md5_col)
+
+    # --- tier 3 ---
+    t3_cand = df.filter(~has_doi & ~has_md5 & F.col(title_col).isNotNull())
+    w3 = Window.partitionBy(title_col).orderBy(seq_col)
+    t3_first = (t3_cand.withColumn("__rn", F.row_number().over(w3))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+    t12_titles = (t1.select(title_col, seq_col)
+                  .unionByName(t2.select(title_col, seq_col))
+                  .filter(F.col(title_col).isNotNull())
+                  .groupBy(title_col).agg(F.min(seq_col).alias("__t12_min_seq")))
+    t3 = (t3_first.join(t12_titles, on=title_col, how="left")
+          .filter(F.col("__t12_min_seq").isNull()
+                  | (F.col("__t12_min_seq") > F.col(seq_col)))
+          .drop("__t12_min_seq"))
+    if catalog is not None:
+        t3 = anti_join_seen(t3, catalog.filter(F.col(title_col).isNotNull()), title_col)
+
+    # rows with no doi, no md5, no title are always inserted (no check applies)
+    rest = df.filter(~has_doi & ~has_md5 & F.col(title_col).isNull())
+
+    cols = df.columns
+    return (t1.select(cols).unionByName(t2.select(cols))
+            .unionByName(t3.select(cols)).unionByName(rest.select(cols)))

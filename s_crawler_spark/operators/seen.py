@@ -1,0 +1,252 @@
+"""Partitioned URL-seen set: Bloom/cuckoo filter shards + exact backstop.
+
+Replaces the reference's ``uk_doi`` unique key + per-row ``SELECT id WHERE
+doi=%s`` probes (reference database/create_science_table.sql:19,
+src/database_manager.py:177-189) with the north rule's 10^10-key design:
+
+- the *exact* seen table ``seen(url_hash, url, wave)`` is the source of truth
+  (correctness gate: Bloom false positives must never drop a URL the
+  reference would crawl — SURVEY.md §7 Phase 3);
+- *filter shards* ``seen_shards(shard_id, kind, bits, n_items)`` are a
+  shuffle-avoidance layer: candidates that miss the filter are definitively
+  new and skip the exact anti-join; only filter-positives (true dups + the
+  ~1% false positives) shuffle into the exact backstop join.
+
+Sizing: 10^10 keys at 10 bits/key ≈ 12.5 GB of filter split into shards of
+``SHARD_TARGET_ITEMS`` keys (~2^27 → ~160 MB/shard); shards are co-partitioned
+with candidates by ``pmod(url_hash, n_shards)`` so the probe is a 1:1
+shard-local join + Arrow kernel — no broadcast of the full filter, no skew
+(hash sharding is uniform by construction).
+
+Spark's internal BloomFilter aggregate is not exposed as a SQL function in
+this build, so the filter kernels are numpy-vectorized pandas UDFs (double
+hashing over the already-computed ``xxhash64`` key — zero extra string
+hashing). The cuckoo variant adds deletability at ~the same space.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SHARD_TARGET_ITEMS = 1 << 27  # keys per shard at full scale
+DEFAULT_BITS_PER_KEY = 10     # ~1% fp at k=7
+DEFAULT_K = 7
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _h2(keys: np.ndarray) -> np.ndarray:
+    """Second hash for double hashing (Kirsch–Mitzenmacher)."""
+    with np.errstate(over="ignore"):
+        h = keys * _MIX
+        return (h ^ (h >> np.uint64(33))) | np.uint64(1)
+
+
+def _bloom_positions(keys: np.ndarray, n_bits: int, k: int):
+    h1 = keys.astype(np.uint64)
+    h2 = _h2(h1)
+    nb = np.uint64(n_bits)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            yield ((h1 + np.uint64(i) * h2) % nb).astype(np.int64)
+
+
+def bloom_build(keys: np.ndarray, n_bits: int, k: int = DEFAULT_K) -> bytes:
+    bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+    for pos in _bloom_positions(keys, n_bits, k):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bits.tobytes()
+
+
+def bloom_probe(bits: bytes, keys: np.ndarray, k: int = DEFAULT_K) -> np.ndarray:
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    n_bits = (len(arr) - 1) * 8
+    hit = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys, n_bits, k):
+        hit &= (arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+    return hit
+
+
+# --------------------------------------------------------------------------
+# Cuckoo filter (deletable alternative; kind='cuckoo')
+# 16-bit fingerprints, 4 slots/bucket, partial-key cuckoo hashing.
+# --------------------------------------------------------------------------
+
+_CK_SLOTS = 4
+_CK_MAX_KICKS = 500
+
+
+def _ck_fingerprint(keys: np.ndarray) -> np.ndarray:
+    fp = ((keys >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 marks an empty slot
+    return fp
+
+
+def _ck_index2(i1: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (i1 ^ (fp.astype(np.uint64) * _MIX)) % np.uint64(n_buckets)
+
+
+def cuckoo_build(keys: np.ndarray, n_buckets: int) -> bytes:
+    table = np.zeros(n_buckets * _CK_SLOTS, dtype=np.uint16)
+    rng_state = np.uint64(0x2545F4914F6CDD1D)  # deterministic kick choice
+    fps = _ck_fingerprint(keys.astype(np.uint64))
+    i1s = keys.astype(np.uint64) % np.uint64(n_buckets)
+    for fp, i1 in zip(fps, i1s):
+        placed = False
+        for idx in (int(i1), int(_ck_index2(np.uint64(i1), np.uint16(fp), n_buckets))):
+            row = table[idx * _CK_SLOTS:(idx + 1) * _CK_SLOTS]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        idx, cur = int(i1), np.uint16(fp)
+        for kick in range(_CK_MAX_KICKS):
+            with np.errstate(over="ignore"):
+                rng_state = rng_state * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+            slot = int(rng_state >> np.uint64(60)) % _CK_SLOTS
+            pos = idx * _CK_SLOTS + slot
+            cur, table[pos] = table[pos], cur
+            idx = int(_ck_index2(np.uint64(idx), cur, n_buckets))
+            row = table[idx * _CK_SLOTS:(idx + 1) * _CK_SLOTS]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                cur = None
+                break
+        if cur is not None:
+            raise RuntimeError("cuckoo filter over capacity; grow n_buckets")
+    return table.tobytes()
+
+
+def cuckoo_probe(bits: bytes, keys: np.ndarray) -> np.ndarray:
+    table = np.frombuffer(bits, dtype=np.uint16)
+    n_buckets = len(table) // _CK_SLOTS
+    keys = keys.astype(np.uint64)
+    fps = _ck_fingerprint(keys)
+    i1 = keys % np.uint64(n_buckets)
+    i2 = _ck_index2(i1, fps, n_buckets)
+    out = np.zeros(len(keys), dtype=bool)
+    for s in range(_CK_SLOTS):
+        out |= table[(i1.astype(np.int64)) * _CK_SLOTS + s] == fps
+        out |= table[(i2.astype(np.int64)) * _CK_SLOTS + s] == fps
+    return out
+
+
+def cuckoo_delete(bits: bytes, keys: np.ndarray) -> bytes:
+    """Remove keys (first matching slot per key). Returns new table bytes."""
+    table = np.frombuffer(bits, dtype=np.uint16).copy()
+    n_buckets = len(table) // _CK_SLOTS
+    for key in keys.astype(np.uint64):
+        fp = _ck_fingerprint(np.array([key], dtype=np.uint64))[0]
+        for idx in (int(key % np.uint64(n_buckets)),
+                    int(_ck_index2(key % np.uint64(n_buckets), fp, n_buckets))):
+            row = table[idx * _CK_SLOTS:(idx + 1) * _CK_SLOTS]
+            hits = np.nonzero(row == fp)[0]
+            if len(hits):
+                row[hits[0]] = 0
+                break
+    return table.tobytes()
+
+
+# --------------------------------------------------------------------------
+# DataFrame-level operators
+# --------------------------------------------------------------------------
+
+SHARDS_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.IntegerType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("bits", T.BinaryType(), False),
+    T.StructField("n_items", T.LongType(), False),
+])
+
+
+def build_shards(seen: DataFrame, n_shards: int,
+                 bits_per_key: int = DEFAULT_BITS_PER_KEY,
+                 kind: str = "bloom",
+                 key_col: str = "url_hash") -> DataFrame:
+    """seen(url_hash,...) → seen_shards, one filter blob per hash shard."""
+    def make_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        if kind == "cuckoo":
+            n_buckets = max(16, int(len(keys) / (0.84 * _CK_SLOTS)) + 1)
+            bits = cuckoo_build(keys, n_buckets)
+        else:
+            bits = bloom_build(keys, max(64, len(keys) * bits_per_key))
+        return pd.DataFrame({
+            "shard_id": [int(key[0])], "kind": [kind],
+            "bits": [bits], "n_items": [len(keys)],
+        })
+
+    return (
+        seen.withColumn("shard_id", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+        .groupBy("shard_id")
+        .applyInPandas(make_shard, schema=SHARDS_SCHEMA)
+    )
+
+
+def probe_shards(candidates: DataFrame, shards: DataFrame,
+                 key_col: str = "url_hash",
+                 n_shards: int | None = None,
+                 flag_col: str = "maybe_seen") -> DataFrame:
+    """Co-partitioned filter probe: candidates gain a ``maybe_seen`` flag.
+
+    The join key is the shard id, so each task sees exactly one blob +
+    its candidate slice (shard-local, uniform by hash). A left join keeps
+    candidates whose shard has no filter yet (definitively unseen).
+    """
+    if n_shards is None:
+        mx = shards.agg(F.max("shard_id")).collect()[0][0]
+        if mx is None:  # no filters built yet → nothing can be seen
+            return candidates.withColumn(flag_col, F.lit(False))
+        n_shards = mx + 1
+
+    with_shard = candidates.withColumn(
+        "shard_id", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+    joined = with_shard.join(shards, on="shard_id", how="left")
+
+    out_schema = T.StructType(
+        candidates.schema.fields + [T.StructField(flag_col, T.BooleanType())])
+    cand_cols = list(candidates.columns)  # plain list — closure must not
+    # capture the DataFrame itself (SparkContext is driver-only)
+
+    def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        bits = pdf["bits"].iloc[0] if len(pdf) else None
+        if bits is None or (len(pdf) and pdf["bits"].isna().iloc[0]):
+            hit = np.zeros(len(pdf), dtype=bool)
+        elif pdf["kind"].iloc[0] == "cuckoo":
+            hit = cuckoo_probe(bits, keys)
+        else:
+            hit = bloom_probe(bits, keys)
+        out = pdf[cand_cols].copy()
+        out[flag_col] = hit
+        return out
+
+    return joined.groupBy("shard_id").applyInPandas(probe_group, schema=out_schema)
+
+
+def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
+                       shards: DataFrame | None = None,
+                       key_col: str = "url_hash") -> DataFrame:
+    """J1 at scale: candidates ∖ seen, exactly.
+
+    Filter-negatives pass straight through (no shuffle against ``seen``);
+    filter-positives go through the exact ``left_anti`` backstop so false
+    positives never drop a crawlable URL. Without shards, plain exact
+    anti-join (the small-scale / first-wave path).
+    """
+    if shards is None:
+        return candidates.join(seen.select(key_col), on=key_col, how="left_anti")
+    probed = probe_shards(candidates, shards, key_col=key_col)
+    fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    survivors = suspect.join(seen.select(key_col), on=key_col, how="left_anti")
+    return fresh.unionByName(survivors)

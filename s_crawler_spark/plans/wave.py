@@ -1,0 +1,258 @@
+"""The crawl wave — one DataFrame job per wave, plus the resumable wave loop.
+
+Dataflow per wave (north rule): frontier dequeue → bloom/cuckoo dedup →
+fetch → parse/extract → link discovery → frontier enqueue, all state
+committed as one snapshot set per wave (store.SnapshotStore).
+
+This is the Spark lifecycle equivalent of the reference's three entry points
+(SURVEY.md §3): discovery = collect_meta.py's enqueue, drain =
+pdf_downloader.py's batch loop, and the combined ``run_wave`` = the
+science_crawler_main.py full pass. The reference's per-article sequential
+loop (src/driver_manager.py:49-66) becomes three hash joins against ``pages``
+with Arrow-vectorized extraction between them.
+
+Plan shape / scale notes (verified via .explain — see BENCH notes):
+
+- column pruning: the dedup/ordering stages never touch ``html``; the binary
+  column is only read by the three fetch joins, each projecting it away
+  immediately after its extraction kernel.
+- the three fetch hops are shuffle hash joins on url; candidates are tiny
+  relative to ``pages``, so AQE picks broadcast when the wave is small —
+  at 10^10 scale, bucketing ``pages`` by url hash makes them shuffle-free
+  on the pages side.
+- crawl-order ``seq`` is a composite key (frontier.composite_seq): no global
+  window anywhere in the per-wave plan.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalars
+from ..operators import dedup as dd
+from ..operators import extract as ex
+from ..operators import frontier as fr
+from ..operators import politeness as po
+from ..operators import seen as sn
+from ..sources.store import SnapshotStore
+
+LOGICAL_T0 = datetime(2024, 6, 1)
+
+
+def search_pages(pages: DataFrame, seed_url: str) -> DataFrame:
+    """The seed's paginated search listing: same URL minus the startPage
+    param (the reference walks the pager links from the seed,
+    src/link_collector.py:27-77; the set of pages it can reach is exactly
+    this prefix family, so a declarative filter — which Catalyst pushes into
+    the parquet scan — replaces the sequential pagination loop)."""
+    prefix = seed_url.split("startPage=")[0]
+    return pages.filter(F.col("url").startswith(prefix))
+
+
+def collect_candidates(pages: DataFrame, seed_url: str,
+                       wave: int = 0,
+                       max_count: int | None = None,
+                       catalog: DataFrame | None = None) -> DataFrame:
+    """Discovery: search pages → deduped, crawl-ordered candidate cards.
+
+    Matches reference collection semantics (SURVEY.md §2.8 + reference_sim):
+    cards in (page_num, card_idx) order; DOI-ful cards already in the stored
+    *catalog* are dropped (the collection-time check probes the DB,
+    src/link_collector.py:49-55); within-run duplicates survive (they are
+    insert-time deduped later); MAX_COUNT truncates after the catalog check,
+    in crawl order.
+    """
+    cards = ex.explode_cards(search_pages(pages, seed_url))
+    cards = cards.withColumn(
+        "seq", fr.composite_seq(F.lit(wave), F.col("page_num"), F.col("card_idx")))
+    if catalog is not None:
+        cards = dd.anti_join_seen(cards, catalog.filter(F.col("doi").isNotNull()), "doi")
+    if max_count is not None:
+        # top-k in crawl order (T1): TakeOrdered, not a global sort
+        cards = cards.orderBy("seq").limit(max_count)
+    return cards
+
+
+def fetch_parse(pages: DataFrame, batch: DataFrame) -> DataFrame:
+    """The two-hop fetch + extraction pipeline for one wave's batch.
+
+    batch: candidate rows with (url, seq, title, doi, journal,
+    publication_date, authors). Returns one row per candidate with extracted
+    fields, ``downloaded`` flag and ``content_md5``; candidates whose hops
+    miss keep NULLs and downloaded=false (→ retry bookkeeping).
+    """
+    detail = pages.select(F.col("url"), F.col("html"))
+    viewer = pages.select(F.col("url").alias("pdf_page_url"),
+                          F.col("html").alias("viewer_html"))
+    payload = pages.select(F.col("url").alias("download_link"),
+                           F.col("html").alias("payload"))
+
+    step1 = (
+        batch.join(detail, on="url", how="left")
+        .withColumn("d", ex.extract_detail_udf(F.col("html")))
+        .select(*batch.columns,
+                F.col("html").isNotNull().alias("fetched_detail"),
+                F.col("d.abstract").alias("abstract"),
+                F.col("d.pdf_page_url").alias("pdf_page_url"))
+    )
+    step2 = (
+        step1.join(viewer, on="pdf_page_url", how="left")
+        .withColumn("download_link", ex.find_download_link_udf(F.col("viewer_html")))
+        .drop("viewer_html")
+    )
+    step3 = (
+        step2.join(payload, on="download_link", how="left")
+        .withColumn("pdf_valid",
+                    F.coalesce(ex.valid_pdf_content(F.col("payload")), F.lit(False)))
+        .withColumn("content_md5",
+                    F.when(F.col("pdf_valid"), scalars.content_md5(F.col("payload"))))
+        .drop("payload")
+    )
+    return step3.withColumn(
+        "downloaded",
+        F.col("fetched_detail") & F.col("pdf_valid")
+        & F.col("pdf_page_url").isNotNull() & F.col("download_link").isNotNull(),
+    ).drop("fetched_detail", "pdf_valid")
+
+
+ARTICLE_COLS = ["seq", "title", "url", "doi", "journal", "publication_date",
+                "authors", "abstract", "pdf_page_url", "download_link",
+                "downloaded", "content_md5"]
+
+
+def run_wave(pages: DataFrame, seed_url: str,
+             max_count: int | None = None,
+             catalog: DataFrame | None = None,
+             wave: int = 0) -> DataFrame:
+    """Single-job full pass (reference science_crawler_main.py §3.1):
+    discover → fetch/parse → validate → tiered insert dedup. Returns the
+    newly stored articles in crawl order (``seq``)."""
+    cand = collect_candidates(pages, seed_url, wave=wave,
+                              max_count=max_count, catalog=catalog)
+    fetched = fetch_parse(pages, cand)
+    # the reference skips (does not store) articles whose fetch chain failed
+    # (process_article returns None → no callback, science_crawler_main.py:242)
+    ok = fetched.filter(F.col("downloaded")).select(*ARTICLE_COLS)
+    return dd.tiered_insert_dedup(ok, seq_col="seq", catalog=catalog)
+
+
+# --------------------------------------------------------------------------
+# Resumable multi-wave loop (reference §3.2 enqueue + §3.3 drain, decoupled)
+# --------------------------------------------------------------------------
+
+def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
+          store: SnapshotStore,
+          max_count: int | None = None,
+          wave_seconds: int = 3600,
+          host_policy: DataFrame | None = None,
+          n_shards: int = 8,
+          max_waves: int = 50,
+          salt_buckets: int | None = None,
+          resume: bool = True) -> DataFrame:
+    """Run (or resume) a full crawl to completion. Every wave commits
+    frontier / seen / seen_shards / articles / fetch_log snapshots; killing
+    the driver between waves and calling crawl() again continues from the
+    last committed wave (pytest: tests/test_resume.py).
+
+    Returns the final articles catalog in crawl order.
+    """
+    start_wave = 0
+    frontier_df = catalog = seen_df = cand_store = None
+    if resume and store.latest_wave("frontier") is not None:
+        start_wave = store.latest_wave("frontier") + 1
+        frontier_df = store.read(spark, "frontier")
+        catalog = store.read(spark, "articles")
+        seen_df = store.read(spark, "seen")
+        cand_store = store.read(spark, "candidates")
+
+    meta_cols = ["url", "title", "doi", "journal", "publication_date", "authors"]
+
+    for wave in range(start_wave, max_waves):
+        logical_now = LOGICAL_T0 + timedelta(seconds=wave * wave_seconds)
+
+        # --- discovery + enqueue (idempotent: seen-set dedups re-discovery) ---
+        cand = collect_candidates(pages, seed_url, wave=wave,
+                                  max_count=max_count, catalog=catalog)
+        cand = cand.withColumn("url_hash", scalars.canonical_url_hash(F.col("url")))
+        if seen_df is not None:
+            shards = store.read(spark, "seen_shards")
+            fresh = sn.dedup_against_seen(cand, seen_df, shards, key_col="url_hash")
+        else:
+            fresh = cand
+        # already-enqueued (still pending) URLs must not re-enqueue either
+        if cand_store is not None:
+            fresh = fresh.join(cand_store.select("url"), on="url", how="left_anti")
+        # within-run duplicate cards enqueue once per URL (the frontier is
+        # URL-keyed; the *insert-time* tiered dedup below is doi/md5/title-keyed)
+        fresh = dd.first_occurrence(fresh, "url_hash", "seq")
+        new_frontier_rows = fr.enqueue(fresh.drop("url_hash"), wave, logical_now)
+
+        frontier_df = (new_frontier_rows if frontier_df is None
+                       else frontier_df.unionByName(new_frontier_rows))
+        # the candidates table carries card metadata for drain-time
+        # re-hydration — the analogue of the reference re-reading article
+        # rows from the DB before download (pdf_downloader.py:34-46, J2)
+        new_meta = fresh.select(*meta_cols)
+        cand_store = (new_meta if cand_store is None
+                      else cand_store.unionByName(new_meta))
+
+        # --- politeness-budgeted wave composition + skew salting ---
+        pending = fr.eligible_pending(frontier_df, logical_now)
+        if host_policy is None:
+            hosts = pending.select("host").distinct()
+            policy = po.default_host_policy(spark, hosts, crawl_delay_ms=1000)
+        else:
+            policy = host_policy
+        batch = po.compose_wave(pending, policy, wave_seconds)
+        if salt_buckets:
+            batch = fr.salt_partitions(batch, salt_buckets)
+
+        # --- fetch + parse (re-hydrate card metadata, J2) ---
+        batch_meta = batch.select("url", "seq").join(
+            cand_store.dropDuplicates(["url"]), on="url", how="left")
+        fetched = fetch_parse(pages, batch_meta).cache()
+
+        ok = fetched.filter(F.col("downloaded")).select(*ARTICLE_COLS)
+        new_articles = dd.tiered_insert_dedup(ok, seq_col="seq", catalog=catalog)
+
+        catalog = (new_articles if catalog is None
+                   else catalog.unionByName(new_articles))
+
+        # --- bookkeeping: frontier status, seen set, shards, metrics ---
+        results = fetched.select(
+            scalars.canonical_url_hash(F.col("url")).alias("url_hash"),
+            F.col("downloaded").alias("success"),
+            F.when(~F.col("downloaded"), F.lit("fetch/parse/validate failed"))
+            .alias("error"),
+        )
+        frontier_df = fr.record_results(frontier_df, results, logical_now)
+
+        seen_df = frontier_df.filter(F.col("status") != fr.STATUS_PENDING) \
+            .select("url_hash", "url", "wave")
+
+        # commit this wave's state (checkpoint = resumability); re-read the
+        # committed snapshots so cross-wave lineage stays bounded — the
+        # parquet snapshot is the wave barrier, exactly like an Iceberg commit
+        store.commit(frontier_df, "frontier", wave)
+        store.commit(catalog, "articles", wave)
+        store.commit(seen_df, "seen", wave)
+        store.commit(cand_store, "candidates", wave)
+        store.commit(sn.build_shards(seen_df, n_shards), "seen_shards", wave)
+        metrics = frontier_df.groupBy("status").count() \
+            .withColumn("wave", F.lit(wave))
+        store.commit(metrics, "fetch_log", wave)
+        fetched.unpersist()
+
+        frontier_df = store.read(spark, "frontier")
+        catalog = store.read(spark, "articles")
+        seen_df = store.read(spark, "seen")
+        cand_store = store.read(spark, "candidates")
+
+        n_pending = frontier_df.filter(F.col("status") == fr.STATUS_PENDING).count()
+        if n_pending == 0:
+            break
+
+    return catalog.orderBy("seq") if catalog is not None else None
