@@ -76,7 +76,7 @@ def format_file_size(size_bytes: Column) -> Column:
     """F9 — reference src/utils/download_utils.py:125-144: log1024 bucket to
     ``{rounded} {unit}`` with round(x, 2)."""
     units = F.array(F.lit("B"), F.lit("KB"), F.lit("MB"), F.lit("GB"), F.lit("TB"))
-    i = F.floor(F.log(F.lit(1024.0), size_bytes.cast("double"))).cast("int")
+    i = F.floor(F.log(1024.0, size_bytes.cast("double"))).cast("int")
     i = F.greatest(F.least(i, F.lit(4)), F.lit(0))
     scaled = F.round(size_bytes.cast("double") / F.pow(F.lit(1024.0), i.cast("double")), 2)
     return F.when(size_bytes == 0, F.lit("0 B")).otherwise(

@@ -56,7 +56,8 @@ def _bloom_positions(keys: np.ndarray, n_bits: int, k: int):
 
 
 def bloom_build(keys: np.ndarray, n_bits: int, k: int = DEFAULT_K) -> bytes:
-    bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+    n_bits = ((n_bits + 7) // 8) * 8  # byte-aligned so probe recovers it exactly
+    bits = np.zeros(n_bits // 8, dtype=np.uint8)
     for pos in _bloom_positions(keys, n_bits, k):
         np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
     return bits.tobytes()
@@ -64,7 +65,7 @@ def bloom_build(keys: np.ndarray, n_bits: int, k: int = DEFAULT_K) -> bytes:
 
 def bloom_probe(bits: bytes, keys: np.ndarray, k: int = DEFAULT_K) -> np.ndarray:
     arr = np.frombuffer(bits, dtype=np.uint8)
-    n_bits = (len(arr) - 1) * 8
+    n_bits = len(arr) * 8
     hit = np.ones(len(keys), dtype=bool)
     for pos in _bloom_positions(keys, n_bits, k):
         hit &= (arr[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
@@ -87,11 +88,19 @@ def _ck_fingerprint(keys: np.ndarray) -> np.ndarray:
 
 
 def _ck_index2(i1: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Partial-key alternate bucket. n_buckets MUST be a power of two so that
+    ``alt(alt(i)) == i`` (XOR under a mask is an involution; a modulo is not —
+    kicked items would land in buckets the probe never checks)."""
     with np.errstate(over="ignore"):
-        return (i1 ^ (fp.astype(np.uint64) * _MIX)) % np.uint64(n_buckets)
+        return (i1 ^ (fp.astype(np.uint64) * _MIX)) & np.uint64(n_buckets - 1)
+
+
+def _pow2_at_least(n: int) -> int:
+    return 1 << max(4, (n - 1).bit_length())
 
 
 def cuckoo_build(keys: np.ndarray, n_buckets: int) -> bytes:
+    n_buckets = _pow2_at_least(n_buckets)
     table = np.zeros(n_buckets * _CK_SLOTS, dtype=np.uint16)
     rng_state = np.uint64(0x2545F4914F6CDD1D)  # deterministic kick choice
     fps = _ck_fingerprint(keys.astype(np.uint64))

@@ -1,0 +1,107 @@
+"""Frontier: seq ordering, FIFO dequeue, retry/backoff bookkeeping, salting,
+politeness wave budgets."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from s_crawler_spark.operators import frontier as fr
+from s_crawler_spark.operators import politeness as po
+
+T0 = datetime(2024, 6, 1)
+
+
+def make_candidates(spark, n=30):
+    return spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 3).cast("string"),
+                 F.lit(".org/doi/10.1/x"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") / 10).cast("int").alias("page_num"),
+        (F.col("id") % 10).cast("int").alias("card_idx"),
+    )
+
+
+def test_composite_seq_is_order_isomorphic(spark):
+    df = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 0), (1, 0, 0), (0, 0, 2), (2, 0, 0), (0, 2, 0)],
+        "wave int, page int, idx int")
+    out = df.select("wave", "page", "idx",
+                    fr.composite_seq(F.col("wave"), F.col("page"), F.col("idx"))) \
+        .orderBy("seq").collect()
+    assert [(r["wave"], r["page"], r["idx"]) for r in out] \
+        == sorted([(0, 0, 1), (0, 1, 0), (1, 0, 0), (0, 0, 2), (2, 0, 0), (0, 2, 0)])
+
+
+def test_enqueue_and_fifo_dequeue(spark):
+    frontier = fr.enqueue(make_candidates(spark), wave=0, logical_now=T0)
+    assert frontier.filter(F.col("status") == "pending").count() == 30
+    batch = fr.fifo_dequeue(frontier, T0, batch=7).collect()
+    assert len(batch) == 7
+    seqs = [r["seq"] for r in batch]
+    assert seqs == sorted(seqs)
+    all_seqs = sorted(r["seq"] for r in frontier.collect())
+    assert seqs == all_seqs[:7]  # strictly the FIRST 7 in crawl order
+
+
+def test_record_results_transitions_and_backoff(spark):
+    frontier = fr.enqueue(make_candidates(spark, 4), wave=0, logical_now=T0)
+    hashes = [r["url_hash"] for r in frontier.orderBy("seq").collect()]
+    results = spark.createDataFrame(
+        [(hashes[0], True, None), (hashes[1], False, "boom" * 500)],
+        "url_hash long, success boolean, error string")
+    updated = fr.record_results(frontier, results, T0)
+    rows = {r["url_hash"]: r for r in updated.collect()}
+    assert rows[hashes[0]]["status"] == "done"
+    r1 = rows[hashes[1]]
+    assert r1["status"] == "pending" and r1["attempts"] == 1
+    assert len(r1["last_error"]) == 1000                  # truncated
+    assert r1["next_eligible"] == T0 + timedelta(seconds=2)   # 2^1
+    assert rows[hashes[2]]["status"] == "pending" and rows[hashes[2]]["attempts"] == 0
+
+    # not yet eligible before backoff elapses, eligible after
+    assert fr.eligible_pending(updated, T0).filter(
+        F.col("url_hash") == hashes[1]).count() == 0
+    assert fr.eligible_pending(updated, T0 + timedelta(seconds=2)).filter(
+        F.col("url_hash") == hashes[1]).count() == 1
+
+    # third failure retires the row (MAX_ATTEMPTS=3)
+    fail = spark.createDataFrame([(hashes[1], False, "x")],
+                                 "url_hash long, success boolean, error string")
+    u2 = fr.record_results(updated, fail, T0)
+    u3 = fr.record_results(u2, fail, T0)
+    final = {r["url_hash"]: r for r in u3.collect()}[hashes[1]]
+    assert final["status"] == "failed" and final["attempts"] == 3
+
+
+def test_compose_wave_budget_caps_per_host(spark):
+    frontier = fr.enqueue(make_candidates(spark, 30), wave=0, logical_now=T0)
+    policy = po.default_host_policy(spark, ["h0.org", "h1.org", "h2.org"],
+                                    crawl_delay_ms=1000)
+    batch = po.compose_wave(fr.eligible_pending(frontier, T0), policy,
+                            wave_seconds=4)  # budget 4 per host
+    got = batch.groupBy("host").count().collect()
+    assert {r["host"]: r["count"] for r in got} == \
+        {"h0.org": 4, "h1.org": 4, "h2.org": 4}
+    # within a host, FIFO by seq
+    h0 = [r["seq"] for r in batch.filter(F.col("host") == "h0.org").collect()]
+    all_h0 = sorted(r["seq"] for r in frontier.filter(F.col("host") == "h0.org").collect())
+    assert sorted(h0) == all_h0[:4]
+
+
+def test_compose_wave_robots_disallow(spark):
+    frontier = fr.enqueue(make_candidates(spark, 9), wave=0, logical_now=T0)
+    policy = spark.createDataFrame(
+        [("h0.org", 1000, ["/doi/"], "ua"), ("h1.org", 1000, ["/other/"], "ua"),
+         ("h2.org", 1000, [], "ua")],
+        po.HOST_POLICY_SCHEMA)
+    batch = po.compose_wave(fr.eligible_pending(frontier, T0), policy, 3600)
+    hosts = {r["host"] for r in batch.collect()}
+    assert hosts == {"h1.org", "h2.org"}  # all h0 paths start /doi/ → blocked
+
+
+def test_salt_partitions_spreads_hot_host(spark):
+    frontier = fr.enqueue(make_candidates(spark, 30), wave=0, logical_now=T0)
+    salted = fr.salt_partitions(frontier, n_buckets=8)
+    assert salted.rdd.getNumPartitions() == 8
+    n_salts = salted.filter(F.col("host") == "h0.org") \
+        .select("salt").distinct().count()
+    assert n_salts > 1  # one host's rows do not collapse into one bucket

@@ -1,0 +1,111 @@
+"""North-rule parity gate: the distributed wave job must match the reference
+simulator's crawl order, extracted bytes, and URL-seen set on the same seed
+(SURVEY.md §7 Phase 6). Includes failure injection + resume-from-checkpoint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s_crawler_spark.corpus import seed_search_url
+from s_crawler_spark.plans.reference_sim import simulate_crawl
+from s_crawler_spark.plans.wave import crawl, run_wave
+from s_crawler_spark.sources.store import SnapshotStore
+
+CMP_KEYS = ["title", "url", "doi", "journal", "abstract", "download_link",
+            "content_md5", "publication_date"]
+
+
+def assert_parity(rows, sim):
+    assert len(rows) == len(sim)
+    for got, exp in zip(rows, sim):
+        for k in CMP_KEYS:
+            assert got[k] == exp[k], (k, got[k], exp[k])
+        assert list(got["authors"] or []) == exp["authors"]
+
+
+def test_run_wave_full_parity(pages, pages_dict):
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    rows = run_wave(pages, seed_search_url()).orderBy("seq").collect()
+    assert_parity(rows, sim)
+
+
+def test_run_wave_max_count_truncation(pages, pages_dict):
+    # MAX_COUNT counts collected candidates (incl. within-run dup cards that
+    # later fail insert dedup) — the stored count may be below the cap
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=25)
+    rows = run_wave(pages, seed_search_url(), max_count=25).orderBy("seq").collect()
+    assert_parity(rows, sim)
+
+
+def test_run_wave_catalog_anti_join(spark, pages, pages_dict):
+    # prior-wave catalog: first 7 DOIs already stored → collection skips them
+    sim_full, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    prior = {a["doi"] for a in sim_full[:7]}
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9,
+                            db_dois=prior)
+    catalog = spark.createDataFrame(
+        [(d, "t", "m") for d in prior], "doi string, content_md5 string, title string")
+    rows = run_wave(pages, seed_search_url(), catalog=catalog).orderBy("seq").collect()
+    assert_parity(rows, sim)
+
+
+def test_multiwave_crawl_parity_and_fifo(spark, pages, pages_dict, tmp_path):
+    sim, sim_seen = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "store"))
+    # tight politeness budget → many waves; order must still hold
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards=4)
+    rows = cat.collect()
+    assert_parity(rows, sim)
+    # final URL-seen set: every simulator-stored article's detail URL is seen
+    seen_urls = {r["url"] for r in store.read(spark, "seen").collect()}
+    assert {a["url"] for a in sim} <= seen_urls
+    # >1 wave actually ran (politeness budget respected)
+    assert store.latest_wave("frontier") >= 1
+
+
+def test_resume_from_checkpoint(spark, pages, pages_dict, tmp_path):
+    """Kill after wave k, restart → identical final state (north rule)."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "resume"))
+    # run only the first 2 waves, then "crash"
+    crawl(spark, pages, seed_search_url(), store,
+          wave_seconds=100, max_waves=2, n_shards=4)
+    assert store.latest_wave("frontier") == 1
+    pending_mid = store.read(spark, "frontier") \
+        .filter(F.col("status") == "pending").count()
+    assert pending_mid > 0  # genuinely interrupted mid-crawl
+    # restart: picks up from wave 2
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards=4)
+    assert_parity(cat.collect(), sim)
+
+
+def test_crawl_idempotent_rerun(spark, pages, pages_dict, tmp_path):
+    store = SnapshotStore(str(tmp_path / "idem"))
+    cat1 = crawl(spark, pages, seed_search_url(), store, wave_seconds=3600,
+                 max_waves=10, n_shards=4).collect()
+    cat2 = crawl(spark, pages, seed_search_url(), store, wave_seconds=3600,
+                 max_waves=10, n_shards=4).collect()
+    assert len(cat1) == len(cat2)
+
+
+def test_failure_injection_and_retry_retirement(spark, pages, pages_dict, tmp_path):
+    """Articles whose viewer page is missing can never complete: the
+    simulator skips them; the engine must retry then retire them at
+    MAX_ATTEMPTS without polluting the catalog."""
+    broken = pages.filter(
+        ~(F.col("url").contains("/doi/epdf/") & (F.xxhash64("url") % 17 == 0)))
+    n_removed = pages.count() - broken.count()
+    assert n_removed > 0
+    broken_dict = {r["url"]: bytes(r["html"])
+                   for r in broken.select("url", "html").collect()}
+    sim, _ = simulate_crawl(broken_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "fail"))
+    cat = crawl(spark, broken.cache(), seed_search_url(), store,
+                wave_seconds=3600, max_waves=12, n_shards=4)
+    assert_parity(cat.collect(), sim)
+    frontier = store.read(spark, "frontier")
+    failed = frontier.filter(F.col("status") == "failed")
+    assert failed.count() > 0
+    assert failed.filter(F.col("attempts") != 3).count() == 0
+    assert failed.filter(F.col("last_error").isNull()).count() == 0
