@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+deterministic random-hyperplane LSH bucketing so the candidate join is
+per-bucket instead of all-pairs. Dot products are JVM-side higher-order
+functions (zip_with + aggregate) — no Python in the hot path.
+
+Scale notes: queries are broadcast (they are the small side by construction);
+the corpus side streams through one projection + filter per bucket probe, so
+the plan is scan → broadcast-hash-join → per-row dot product → per-query
+top-k (window over query_id partitions, which shuffles only (query_id, score,
+id) triples — never the vectors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textdedup import cosine, l2_norm
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     include_self: bool = False) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    queries: (query_id, query_vec). Returns (query_id, rank, neighbor_id,
+    cos_sim) with rank 1..k, ties broken by neighbor_id — fully deterministic.
+    """
+    base = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("n_vec"))
+    j = base.crossJoin(F.broadcast(queries))
+    if not include_self:
+        j = j.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = j.withColumn("cos", cosine(F.col("n_vec"), F.col("query_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (deterministic planes — no RNG at plan time)
+# --------------------------------------------------------------------------
+
+def _plane(plane_idx: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane derived from md5 — the
+    same planes regenerate on every executor/run with no shared state."""
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane:{plane_idx}:{d}".encode()).hexdigest()
+        vals.append(int(h[:8], 16) / 0xFFFFFFFF - 0.5)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Signed-projection bucket id in [0, 2^n_planes)."""
+    out = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _plane(p, dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        out = out + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             n_planes: int = 8, n_probes: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe the query's bucket (plus single-bit-flip
+    neighbor buckets for n_probes > 1), exact cosine within candidates.
+
+    At 10^10 vectors the corpus is written bucketed by `bucket` so a probe
+    is a partition-pruned scan; recall vs brute force is pytest-gated.
+    """
+    base = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("n_vec"),
+                      lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"))
+    qb = queries.withColumn(
+        "q_bucket", lsh_bucket(F.col("query_vec"), dim, n_planes))
+    probes = [F.col("q_bucket")]
+    if n_probes > 1:
+        probes += [F.col("q_bucket").bitwiseXOR(F.lit(1 << p))
+                   for p in range(min(n_probes - 1, n_planes))]
+    qb = qb.withColumn("probe", F.explode(F.array(*probes)))
+    j = (base.join(F.broadcast(qb), F.col("bucket") == F.col("probe"))
+         .filter(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("cos", cosine(F.col("n_vec"), F.col("query_vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", "cos")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    return emb.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        F.round(l2_norm(F.col(vec_col)), 4).alias("l2_norm"),
+    )

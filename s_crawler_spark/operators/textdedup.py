@@ -1,0 +1,284 @@
+"""Corpus-scale document deduplication operators.
+
+The reference deduplicates its (tiny) catalog three ways — exact unique key
+(database/create_science_table.sql:19), content MD5 (src/database_manager.py:
+28-46 tier 2), and all-pairs token-Jaccard titles (check_duplicates.py:50-57).
+At 100 TB those generalize to the standard training-data dedup ladder, each
+implemented here as declarative DataFrame dataflow:
+
+- exact:        md5(text) group-by, first occurrence wins (shuffle on hash,
+                map-side partial agg; at scale the hash column is the Iceberg
+                partition/bucket key so the groupBy is co-located).
+- n-gram Jaccard: exact pairwise verification on *candidate* pairs only.
+- MinHash+LSH:  shingle → minhash signature → band → bucket join; the only
+                all-pairs-free near-dup join that survives 10^10 docs. Built
+                on md5-derived token hashes (functions/texthash.py) so every
+                signature is SQL-oracle-checkable.
+- SimHash:      16-bit vectorized signature; hamming-adjacent buckets.
+- embedding near-dup: cosine >= threshold pair join (brute force for
+                correctness; similarity.lsh_buckets for the scale path).
+
+All heavy lifting is JVM-side column expressions (higher-order functions) —
+no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import MERSENNE_31, md5_hash60, perm_coeffs, perm_col
+
+N_PERMS = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens, lowercased (reference check_duplicates.py:52-53
+    lowercases before set ops)."""
+    return F.split(F.lower(text), " ")
+
+
+def distinct_token_hashes(text: Column) -> Column:
+    """Distinct 60-bit token hashes for one document, sorted (sorting makes
+    downstream aggregate() results order-independent of the input)."""
+    return F.array_sort(
+        F.transform(F.array_distinct(words(text)), md5_hash60))
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """First-occurrence exact dedup on md5(text): one survivor per distinct
+    content hash (min id = 'first' under the corpus's monotone ids; the crawl
+    engine's order-sensitive variant is dedup.first_occurrence)."""
+    return (
+        docs.select(F.col(id_col),
+                    F.md5(F.encode(F.col(text_col), "UTF-8")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Word n-gram Jaccard (exact verification kernel)
+# --------------------------------------------------------------------------
+
+def ngram_set(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of one document."""
+    w = words(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - (n - 1))),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+
+
+def jaccard_counts(a: Column, b: Column) -> tuple[Column, Column]:
+    """(|a ∩ b|, |a ∪ b|) on distinct-element arrays — integers, so
+    thresholding and oracle comparison are engine-exact (no float division
+    anywhere in the dedup path; reference check_duplicates.py:52-57
+    semantics, generalized from titles)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter, F.size(a) + F.size(b) - inter
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold (a_id < b_id).
+
+    Quadratic — the *verification* kernel. At scale it only ever runs on the
+    candidate pairs emitted by minhash_lsh_pairs; run standalone solely on
+    bounded slices (the oracle-checked query uses a 150-doc slice).
+    """
+    base = docs.select(F.col(id_col).alias("id"),
+                       ngram_set(F.col(text_col), n).alias("grams"))
+    a = base.select(F.col("id").alias("a_id"), F.col("grams").alias("a_grams"))
+    b = base.select(F.col("id").alias("b_id"), F.col("grams").alias("b_grams"))
+    inter, union = jaccard_counts(F.col("a_grams"), F.col("b_grams"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("n_inter", inter).withColumn("n_union", union)
+        # integer-exact threshold: inter/union >= t  ⇔  inter*10^4 >= t_bp*union
+        .filter(F.col("n_inter") * 10000 >= F.lit(int(threshold * 10000)) * F.col("n_union"))
+        .select("a_id", "b_id", "n_inter", "n_union")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _min_perm(th: Column, a: int, b: int) -> Column:
+    # one-positional-arg lambda (Spark counts default-arg params in HOFs)
+    return F.array_min(F.transform(th, lambda h: perm_col(h, a, b)))
+
+
+def minhash_signature(text: Column, n_perms: int = N_PERMS) -> Column:
+    """Array of n_perms minhash values over the doc's distinct token hashes."""
+    th = distinct_token_hashes(text)
+    return F.array(*[_min_perm(th, a, b) for a, b in perm_coeffs(n_perms)])
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  n_bands: int = N_BANDS,
+                  rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """One row per (doc, band): band signature = joined minhash slice.
+
+    This is the shuffle-key materialization: at 10^10 docs the band table is
+    bucketed by (band, sig) so the candidate self-join is co-located.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n_bands * rows_per_band).alias("mh"))
+    bands = F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(",", *[
+                F.element_at("mh", bi * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ]).alias("sig"),
+        )
+        for bi in range(n_bands)
+    ])
+    return (sig.select("id", F.explode(bands).alias("b"))
+            .select("id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3) -> DataFrame:
+    """Near-dup pairs via LSH banding + exact verification.
+
+    shingle → minhash → band → bucket self-join (candidates share >= 1 band)
+    → exact token-set Jaccard filter. Distinct-pairs set, (a_id < b_id).
+    The bucket join shuffles on (band, sig) — skew-safe because a band value
+    that collapses to one giant bucket is itself evidence of near-duplicate
+    mass; AQE skew-split handles the join, and the verification filter caps
+    output. No all-pairs stage anywhere.
+    """
+    bands = minhash_bands(docs, text_col, id_col)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"),
+              (F.col("x.band") == F.col("y.band"))
+              & (F.col("x.sig") == F.col("y.sig"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .distinct()
+    )
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.array_distinct(words(F.col(text_col))).alias("toks"))
+    inter, union = jaccard_counts(F.col("a_toks"), F.col("b_toks"))
+    return (
+        cand
+        .join(base.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks")), "a_id")
+        .join(base.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks")), "b_id")
+        .withColumn("n_inter", inter).withColumn("n_union", union)
+        .filter(F.col("n_inter") * 10000 >= F.lit(int(threshold * 10000)) * F.col("n_union"))
+        .select("a_id", "b_id", "n_inter", "n_union")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash(text: Column, n_bits: int = SIMHASH_BITS) -> Column:
+    """n_bits-wide SimHash over distinct token hashes: bit i set iff the
+    (+1/-1) vote of all token hashes' bit i is positive. Pure column
+    expressions — one pass per bit over the token-hash array, all JVM-side."""
+    th = distinct_token_hashes(text)
+    total = F.size(th)
+
+    def bit(i: int) -> Column:
+        ones = F.size(F.filter(
+            th, lambda h: h.bitwiseAND(F.lit(1 << i)) != F.lit(0)))
+        # vote = ones - (total - ones) > 0  ⇔  2*ones > total
+        return F.when(ones * 2 > total, F.lit(1 << i)).otherwise(F.lit(0))
+
+    out = F.lit(0)
+    for i in range(n_bits):
+        out = out + bit(i)
+    return out.cast("long")
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    return docs.select(F.col(id_col),
+                       simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs within hamming distance: bucket by simhash value (exact-match
+    buckets for distance 0, plus the standard rotate-and-bucket trick via the
+    two 8-bit halves for distance <= max_hamming with <= bits/2 per half)."""
+    t = simhash_table(docs, text_col, id_col)
+    hi = (F.col("simhash") / 256).cast("long")
+    lo = F.col("simhash") % 256
+    keyed = t.select(id_col, "simhash", hi.alias("hi"), lo.alias("lo"))
+    # pigeonhole: hamming <= 2 over 16 bits ⇒ one 8-bit half is <= 1 bit off;
+    # candidate join on either half matching exactly covers hamming <= 1 per
+    # half; verify with bit_count on the xor.
+    cands = None
+    for half in ("hi", "lo"):
+        c = (keyed.alias("x").join(keyed.alias("y"),
+                                   (F.col(f"x.{half}") == F.col(f"y.{half}"))
+                                   & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+             .select(F.col(f"x.{id_col}").alias("a_id"),
+                     F.col(f"y.{id_col}").alias("b_id"),
+                     F.col("x.simhash").alias("a_sim"),
+                     F.col("y.simhash").alias("b_sim")))
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.distinct()
+        .withColumn("hamming", F.bit_count(
+            F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(_dot(v, v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine near-dup pairs (correctness baseline; the scale
+    path buckets with similarity.lsh_bucket first so the self-join is
+    per-bucket, not all-pairs)."""
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = base.select(F.col("id").alias("a_id"), F.col("v").alias("a_v"))
+    b = base.select(F.col("id").alias("b_id"), F.col("v").alias("b_v"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", F.round("cos", 4).alias("cos_sim"))
+    )

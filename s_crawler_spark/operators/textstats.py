@@ -1,0 +1,173 @@
+"""Text-analysis operators for the training-data pipeline.
+
+Language ID (stopword n-gram heuristic), quality scoring, token counting,
+and rolling-hash document fingerprinting over the ``documents`` table. All
+pure column expressions (whole-stage codegen; no Python in the hot path),
+each with an exact SQL oracle (see plans/contract.py).
+
+The reference's only text analytics are the keyword LIKE search
+(src/database_manager.py:151-175) and title-token Jaccard
+(check_duplicates.py:50-57); these operators are the 100 TB-pipeline
+generalization the engine needs on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import MERSENNE_31
+
+# Tiny public stopword lists (top function words per language). Fixed order =
+# deterministic tie-break for argmax.
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "was", "for", "on", "as"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "los", "y", "es", "no", "por", "para", "un", "con"],
+    "fr": ["le", "les", "et", "est", "pas", "pour", "dans", "une", "sur", "que"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "就", "不", "人"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
+PUNCT_REGEX = r"[^A-Za-z0-9\s]"
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def _in_list(t: Column, values: list[str]) -> Column:
+    # Column.isin is not usable inside a higher-order-function lambda;
+    # array_contains against a literal array is, and codegens the same.
+    return F.array_contains(F.array(*[F.lit(v) for v in values]), t)
+
+
+def _count_in(w: Column, sw: list[str]) -> Column:
+    # NB: the lambda must take exactly one positional arg — Spark counts
+    # default-arg params when binding higher-order-function lambdas.
+    return F.size(F.filter(w, lambda t: _in_list(t, sw)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit count (token occurrences, not distinct)."""
+    w = _words(text)
+    return {lang: _count_in(w, sw) for lang, sw in STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword score; ties broken by LANG_ORDER; all-zero
+    scores → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*[scores[lg] for lg in LANG_ORDER])
+    out = F.lit("und")
+    for lg in reversed(LANG_ORDER):
+        out = F.when(scores[lg] == best, F.lit(lg)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def lang_id_table(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    scores = lang_scores(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        lang_id(F.col(text_col)).alias("pred_lang"),
+        *[scores[lg].alias(f"score_{lg}") for lg in LANG_ORDER],
+    )
+
+
+def quality_table(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals + composite
+    score; the standard pre-training quality-filter feature set.
+
+    All ratios are integer basis points (``div(x*10000, y)``) — bit-exact
+    across engines, so the SQL oracle needs no float tolerance.
+    """
+    t = F.col(text_col)
+    w = _words(t)
+    n_words = F.size(w)
+    sum_len = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_stop = F.size(F.filter(w, lambda x: _in_list(x, STOPWORDS["en"])))
+    n_punct = F.size(F.split(t, PUNCT_REGEX)) - 1
+    awl_c = F.expr("(cast(__sum_len as bigint) * 100) div __n_words")
+    stop_bp = F.expr("(cast(__n_stop as bigint) * 10000) div __n_words")
+    punct_bp = F.expr("(cast(__n_punct as bigint) * 10000) div __n_chars")
+    score_bp = F.expr(
+        "(4 * least(__n_words * 100, 10000)"
+        " + 4 * least(5 * stopword_ratio_bp, 10000)"
+        " + 2 * (10000 - least(10 * punct_ratio_bp, 10000))) div 10")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.length(t).alias("__n_chars"),
+            n_words.alias("__n_words"),
+            sum_len.alias("__sum_len"),
+            n_stop.alias("__n_stop"),
+            n_punct.alias("__n_punct"),
+        )
+        .withColumn("avg_word_len_c", awl_c)       # centi-chars per word
+        .withColumn("stopword_ratio_bp", stop_bp)  # basis points
+        .withColumn("punct_ratio_bp", punct_bp)
+        .withColumn("quality_score_bp", score_bp)
+        .select(
+            id_col,
+            F.col("__n_chars").alias("n_chars"),
+            F.col("__n_words").alias("n_words"),
+            "avg_word_len_c", "stopword_ratio_bp", "punct_ratio_bp",
+            "quality_score_bp",
+        )
+    )
+
+
+def token_stats_table(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + type-token ratio
+    (integer basis points, engine-exact)."""
+    t = F.col(text_col)
+    ws = F.split(t, r"\s+")
+    # Spark SQL string literals eat single backslashes — double them
+    bpe = F.expr(
+        f"regexp_extract_all({text_col}, '{TOKEN_REGEX.replace(chr(92), chr(92) * 2)}', 0)")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(ws).alias("ws_tokens"),
+            F.size(bpe).alias("bpe_tokens"),
+            F.size(F.array_distinct(ws)).alias("distinct_ws_tokens"),
+        )
+        .withColumn("ttr_bp", F.expr(
+            "(cast(distinct_ws_tokens as bigint) * 10000) div ws_tokens"))
+    )
+
+
+SHINGLE_LEN = 8
+SHINGLE_STRIDE = 4
+
+
+def fingerprint_table(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprint: min md5-hash over 8-char shingles
+    at stride 4 (winnowing-style min-sampling; SQL-oracle-exact thanks to
+    the texthash.md5_hash60 construction)."""
+    shingle_hashes = F.expr(
+        f"transform(sequence(1, greatest(1, length({text_col}) - {SHINGLE_LEN - 1}),"
+        f" {SHINGLE_STRIDE}),"
+        f" i -> cast(conv(substring(md5(encode(substring({text_col}, i, {SHINGLE_LEN}),"
+        f" 'UTF-8')), 1, 15), 16, 10) as bigint) % {MERSENNE_31})"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.array_min(shingle_hashes).alias("fingerprint"),
+    )
+
+
+def keyword_search(docs: DataFrame, keyword: str,
+                   cols: tuple[str, ...] = ("title", "abstract")) -> DataFrame:
+    """P10 — LIKE-across-columns search (reference
+    src/database_manager.py:157-162)."""
+    pred = None
+    for c in cols:
+        p = F.col(c).contains(keyword)
+        pred = p if pred is None else (pred | p)
+    return docs.filter(pred)

@@ -1,0 +1,775 @@
+"""Driver contract: named queries + exact DuckDB oracles.
+
+Every operator family from SURVEY.md §2 (and the training-data pipeline
+additions) is exposed as a ``(spark, sf_dir) -> DataFrame`` callable with a
+matching ANSI/DuckDB SQL oracle over the same parquet tables. The synthetic
+crawl corpus (corpus.py) derives every page deterministically from
+``documents.parquet`` by pure arithmetic, so the oracle can reconstruct the
+*expected extraction output* without parsing any HTML — the Spark side earns
+its values by actually running the extraction kernels / crawl plan over the
+rendered pages; the SQL side recomputes them from first principles.
+
+Column parity rules honored throughout:
+- identical column names on both sides (driver sorts columns by name);
+- no raw floats where an integer encoding is exact (ratios are basis points,
+  jaccard is (n_inter, n_union)); floats only where unavoidable (cosine),
+  rounded to 4dp with data-verified gaps around every threshold/rank cut.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..corpus import CARDS_PER_PAGE, DUP_CARRYOVER, MONTHS, seed_search_url, synthesize_pages
+from ..functions import scalars
+from ..functions.texthash import MERSENNE_31, perm_coeffs
+from ..operators import dedup as dd
+from ..operators import frontier as fr
+from ..operators import multimodal as mm
+from ..operators import politeness as po
+from ..operators import similarity as sim
+from ..operators import textdedup as td
+from ..operators import textstats as ts
+from ..plans import wave as wv
+
+LOGICAL_NOW = "2024-06-01 00:00:00"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthesize_pages(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Spark-side derived-doc expressions (inputs for scalar-kernel queries; the
+# same arithmetic as corpus.derive_doc, used only to *construct inputs* —
+# queries that test extraction run the real kernels over rendered HTML)
+# --------------------------------------------------------------------------
+
+def _derived(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    w = F.split(F.col("text"), " ")
+    doi = F.concat(F.lit("10.1126/scrawl."), d.cast("string"))
+    title = F.concat(F.lit("Study "), d.cast("string"), F.lit(": "),
+                     F.concat_ws(" ", F.slice(w, 1, 6)))
+    host = F.when(d % 10 < 7, F.lit("www.science.org")).otherwise(
+        F.concat(F.lit("mirror"), (d % 5).cast("string"), F.lit(".science.org")))
+    detail_url = F.concat(F.lit("https://"), host, F.lit("/doi/"), doi)
+    months = F.array(*[F.lit(m) for m in MONTHS])
+    day1 = (F.lit(10) + d % 18).cast("int")
+    day2 = (d % 28 + 1).cast("int")
+    month = (d % 12 + 1).cast("int")
+    year = (F.lit(2010) + d % 15).cast("int")
+    date_text = (
+        F.when(d % 7 <= 3, F.concat(F.lpad(day1.cast("string"), 2, "0"), F.lit(" "),
+                                    F.element_at(months, month), F.lit(" "),
+                                    year.cast("string")))
+        .when(d % 7 <= 5, F.concat(year.cast("string"), F.lit("-"),
+                                   F.lpad(month.cast("string"), 2, "0"), F.lit("-"),
+                                   F.lpad(day2.cast("string"), 2, "0")))
+        .otherwise(F.concat(F.lit("Vol "), d.cast("string"))))
+    download_link = F.concat(
+        F.lit("https://www.science.org/doi/pdf/"), doi, F.lit("?download=true"))
+    return docs.select(
+        "doc_id", "text", "lang", "n_chars",
+        doi.alias("doi"), title.alias("title"), host.alias("host"),
+        detail_url.alias("url"), date_text.alias("date_text"),
+        download_link.alias("download_link"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL oracle building blocks
+# --------------------------------------------------------------------------
+
+MONTHS_SQL = "['" + "','".join(MONTHS) + "']"
+P = CARDS_PER_PAGE
+C = DUP_CARRYOVER
+
+# fully-derived article attributes, straight from corpus.derive_doc arithmetic
+D_CTE = f"""
+d AS (
+  SELECT
+    doc_id, lang, text, n_chars,
+    string_split(text, ' ') AS words,
+    '10.1126/scrawl.' || doc_id AS doi,
+    'Study ' || doc_id || ': ' || array_to_string((string_split(text, ' '))[1:6], ' ') AS title,
+    CASE WHEN doc_id % 10 < 7 THEN 'www.science.org'
+         ELSE 'mirror' || (doc_id % 5) || '.science.org' END AS host,
+    'https://' || (CASE WHEN doc_id % 10 < 7 THEN 'www.science.org'
+         ELSE 'mirror' || (doc_id % 5) || '.science.org' END)
+      || '/doi/10.1126/scrawl.' || doc_id AS url,
+    CASE WHEN doc_id % 3 = 0 THEN 'Science Advances' ELSE 'Science' END AS journal,
+    CASE WHEN doc_id % 7 <= 3 THEN
+           lpad((10 + doc_id % 18)::VARCHAR, 2, '0') || ' ' || {MONTHS_SQL}[(doc_id % 12 + 1)::INT] || ' ' || (2010 + doc_id % 15)
+         WHEN doc_id % 7 <= 5 THEN
+           (2010 + doc_id % 15) || '-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+         ELSE 'Vol ' || doc_id END AS date_text,
+    CASE WHEN doc_id % 7 <= 3 THEN make_timestamp((2010 + doc_id % 15)::BIGINT, (doc_id % 12 + 1)::BIGINT, (10 + doc_id % 18)::BIGINT, 0, 0, 0)
+         WHEN doc_id % 7 <= 5 THEN make_timestamp((2010 + doc_id % 15)::BIGINT, (doc_id % 12 + 1)::BIGINT, (doc_id % 28 + 1)::BIGINT, 0, 0, 0)
+         ELSE NULL END AS publication_date,
+    CASE doc_id % 4
+         WHEN 0 THEN NULL
+         WHEN 1 THEN 'Author ' || doc_id || 'A'
+         WHEN 2 THEN 'Author ' || doc_id || 'A, Author ' || doc_id || 'B'
+         ELSE 'Author ' || doc_id || 'A, Author ' || doc_id || 'B, Author ' || doc_id || 'C' END AS authors_csv,
+    'Abstract ' || doc_id || '. ' || array_to_string((string_split(text, ' '))[1:12], ' ') AS abstract,
+    'https://www.science.org/doi/epdf/10.1126/scrawl.' || doc_id AS pdf_page_url,
+    'https://www.science.org/doi/pdf/10.1126/scrawl.' || doc_id || '?download=true' AS download_link,
+    md5('%PDF-1.4' || chr(10) || 'scrawl 10.1126/scrawl.' || doc_id || ' ' || repeat('x', (doc_id % 1500)::INT)) AS content_md5,
+    doc_id // {P} AS page_num,
+    (CASE WHEN doc_id // {P} > 0 THEN {C} ELSE 0 END) + doc_id % {P} AS card_idx,
+    (doc_id // {P}) * {1 << fr.SEQ_PAGE_SHIFT} + (CASE WHEN doc_id // {P} > 0 THEN {C} ELSE 0 END) + doc_id % {P} AS seq
+  FROM documents
+)
+"""
+
+# every card occurrence on the search pages: own slot + the carried-over
+# re-listing of each page's last {C} cards on the following page
+CARDS_CTE = f"""
+cards AS (
+  SELECT page_num, card_idx, seq, title, url, doi, journal, publication_date, authors_csv
+  FROM d
+  UNION ALL
+  SELECT page_num + 1 AS page_num,
+         (doc_id % {P}) - ({P} - {C}) AS card_idx,
+         (page_num + 1) * {1 << fr.SEQ_PAGE_SHIFT} + (doc_id % {P}) - ({P} - {C}) AS seq,
+         title, url, doi, journal, publication_date, authors_csv
+  FROM d
+  WHERE doc_id % {P} >= {P} - {C}
+    AND page_num < (SELECT max(doc_id) FROM documents) // {P}
+)
+"""
+
+ARTICLE_OUT = ("seq, doi, title, url, journal, publication_date, "
+               "authors_csv, abstract, pdf_page_url, download_link, content_md5")
+
+
+# ==========================================================================
+# Crawl-engine queries (run real kernels over rendered HTML; SURVEY.md §2)
+# ==========================================================================
+
+def q_crawl_catalog(spark, sf_dir):
+    """Flagship: one full crawl wave — discover → fetch → parse → dedup →
+    store (S1-S8, P1-P11, J1-J3, §2.8 ordering)."""
+    pages = _pages(spark, sf_dir)
+    cat = wv.run_wave(pages, seed_search_url())
+    return cat.select(
+        "seq", "doi", "title", "url", "journal", "publication_date",
+        scalars.authors_to_csv(F.col("authors")).alias("authors_csv"),
+        "abstract", "pdf_page_url", "download_link", "content_md5")
+
+
+SQL_CRAWL_CATALOG = f"WITH {D_CTE} SELECT {ARTICLE_OUT} FROM d"
+
+
+def q_search_cards(spark, sf_dir):
+    """P1/S2: card extraction with page/slot provenance, duplicates and all
+    (the raw posexploded extraction output, pre-dedup)."""
+    from ..operators import extract as ex
+    pages = _pages(spark, sf_dir)
+    cards = ex.explode_cards(wv.search_pages(pages, seed_search_url()))
+    return cards.select(
+        "page_num", "card_idx", "title", "url", "doi", "journal",
+        "publication_date",
+        scalars.authors_to_csv(F.col("authors")).alias("authors_csv"))
+
+
+SQL_SEARCH_CARDS = (
+    f"WITH {D_CTE}, {CARDS_CTE} SELECT page_num, card_idx, title, url, doi, "
+    "journal, publication_date, authors_csv FROM cards")
+
+
+def q_cards_dedup_first(spark, sf_dir):
+    """A5/J1: first-occurrence dedup by DOI in crawl order (§2.8 — keeps the
+    earliest (page, slot), not an arbitrary dropDuplicates)."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url())
+    return dd.first_occurrence(cand, "doi", "seq") \
+        .select("seq", "doi", "title", "url")
+
+
+SQL_CARDS_DEDUP_FIRST = (
+    f"WITH {D_CTE}, {CARDS_CTE} SELECT seq, doi, title, url FROM "
+    "(SELECT *, row_number() OVER (PARTITION BY doi ORDER BY seq) AS rn FROM cards) "
+    "WHERE rn = 1")
+
+
+def q_crawl_topk(spark, sf_dir):
+    """T1: first-k candidates in crawl order (orderBy(seq).limit —
+    TakeOrdered, no global sort)."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url(), max_count=50)
+    return cand.select("seq", "doi", "title")
+
+
+SQL_CRAWL_TOPK = (
+    f"WITH {D_CTE}, {CARDS_CTE} SELECT seq, doi, title FROM "
+    "(SELECT *, row_number() OVER (ORDER BY seq) AS rn FROM cards) WHERE rn <= 50")
+
+
+def q_frontier_enqueue(spark, sf_dir):
+    """S8-analogue: deduped candidates → pending frontier rows with host,
+    crawl-order seq, retry bookkeeping columns."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    rows = fr.enqueue(fresh, wave=0, logical_now=LOGICAL_NOW)
+    return rows.select("url", "host", "priority", "wave", "seq", "status",
+                       "attempts", "next_eligible")
+
+
+SQL_FRONTIER_ENQUEUE = (
+    f"WITH {D_CTE} SELECT url, host, 0 AS priority, 0 AS wave, seq, "
+    f"'pending' AS status, 0 AS attempts, TIMESTAMP '{LOGICAL_NOW}' AS next_eligible FROM d")
+
+
+def q_frontier_fifo(spark, sf_dir):
+    """S9/T2: FIFO batch dequeue — first 100 eligible pending rows by seq
+    (reference ORDER BY id ASC LIMIT n)."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    rows = fr.enqueue(fresh, wave=0, logical_now=LOGICAL_NOW)
+    return fr.fifo_dequeue(rows, LOGICAL_NOW, batch=100).select("url", "seq")
+
+
+SQL_FRONTIER_FIFO = (
+    f"WITH {D_CTE} SELECT url, seq FROM "
+    "(SELECT url, seq, row_number() OVER (ORDER BY seq) rn FROM d) WHERE rn <= 100")
+
+
+def q_host_skew_stats(spark, sf_dir):
+    """A1/A4-analogue: per-host frontier mass (the Zipf skew the scheduler
+    must rebalance)."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    return (fresh.select(scalars.url_host(F.col("url")).alias("host"))
+            .groupBy("host").agg(F.count("*").alias("n_urls")))
+
+
+SQL_HOST_SKEW = f"WITH {D_CTE} SELECT host, count(*) AS n_urls FROM d GROUP BY host"
+
+
+def q_politeness_budget(spark, sf_dir):
+    """§2.9: per-host politeness wave composition — 1000 ms crawl delay,
+    60 s wave ⇒ at most 60 URLs per host admitted, FIFO by (priority, seq)."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    pending = fr.enqueue(fresh, wave=0, logical_now=LOGICAL_NOW)
+    policy = po.default_host_policy(
+        spark, pending.select("host").distinct(), crawl_delay_ms=1000)
+    batch = po.compose_wave(pending, policy, wave_seconds=60)
+    return batch.groupBy("host").agg(F.count("*").alias("n_scheduled"))
+
+
+SQL_POLITENESS = (
+    f"WITH {D_CTE} SELECT host, least(count(*), 60) AS n_scheduled "
+    "FROM d GROUP BY host")
+
+
+def q_retry_backoff(spark, sf_dir):
+    """F14: exponential backoff as frontier *eligibility time* —
+    next_eligible = last_attempt + 2^attempts seconds."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("attempts"),
+        scalars.backoff_next_eligible(
+            F.timestamp_add("SECOND", F.col("doc_id").cast("int"),
+                            F.lit(LOGICAL_NOW).cast("timestamp")),
+            F.col("doc_id") % 4).alias("next_eligible"))
+
+
+SQL_RETRY_BACKOFF = (
+    f"SELECT doc_id, (doc_id % 4)::INT AS attempts, "
+    f"TIMESTAMP '{LOGICAL_NOW}' + to_seconds(doc_id) "
+    "+ to_seconds(pow(2, doc_id % 4)::BIGINT) AS next_eligible FROM documents")
+
+
+def q_scalar_suite(spark, sf_dir):
+    """F1/F3/F9/F10/F11: filename sanitization, DOI regex, file-size
+    formatting, URL basename, safe-title — all JVM column expressions."""
+    der = _derived(_docs(spark, sf_dir))
+    return der.select(
+        "doc_id",
+        scalars.sanitize_filename(
+            F.concat(F.col("title"), F.lit(' <a>/b:c?*'))).alias("fname"),
+        scalars.safe_title_50(F.col("title")).alias("safe50"),
+        scalars.format_file_size(F.col("n_chars") * 1024).alias("fsize_kb"),
+        scalars.format_file_size(F.col("n_chars") * 1024 * 1024).alias("fsize_mb"),
+        scalars.filename_from_url(F.col("download_link")).alias("dl_filename"),
+        scalars.extract_doi_from_url(F.col("url")).alias("doi_extracted"))
+
+
+SQL_SCALAR_SUITE = f"""
+WITH {D_CTE}
+SELECT doc_id,
+  substr(trim(regexp_replace(regexp_replace(title || ' <a>/b:c?*', '[<>:"/\\\\|?*]', '_', 'g'), '\\s+', ' ', 'g')), 1, 200) AS fname,
+  trim(regexp_replace(substr(title, 1, 50), '[^A-Za-z0-9 _\\-]', '', 'g')) AS safe50,
+  (n_chars::DOUBLE)::VARCHAR || ' KB' AS fsize_kb,
+  (n_chars::DOUBLE)::VARCHAR || ' MB' AS fsize_mb,
+  (string_split(string_split(download_link, '?')[1], '/'))[-1] AS dl_filename,
+  nullif(regexp_extract(url, '/doi/(10\\.[0-9]+/[^/]+)', 1), '') AS doi_extracted
+FROM d
+"""
+
+
+def q_date_parsing(spark, sf_dir):
+    """F5: two-format date parse with NULL fallthrough (try_to_timestamp
+    cascade, ANSI-safe)."""
+    der = _derived(_docs(spark, sf_dir))
+    return der.select(
+        "doc_id", "date_text",
+        scalars.parse_publication_date(F.col("date_text")).alias("publication_date"))
+
+
+SQL_DATE_PARSING = f"WITH {D_CTE} SELECT doc_id, date_text, publication_date FROM d"
+
+
+def q_content_hashes(spark, sf_dir):
+    """F6/P11: payload fetch + MD5 over the binary column (the pdf_md5
+    analogue), with the %PDF magic-byte validity predicate."""
+    pages = _pages(spark, sf_dir)
+    from ..operators import extract as ex
+    return (pages.filter(F.col("url").endswith("?download=true"))
+            .select(F.col("url").alias("download_link"),
+                    scalars.content_md5(F.col("html")).alias("content_md5"),
+                    ex.valid_pdf_content(F.col("html")).alias("pdf_valid")))
+
+
+SQL_CONTENT_HASHES = (
+    f"WITH {D_CTE} SELECT download_link, content_md5, TRUE AS pdf_valid FROM d")
+
+
+def q_keyword_search(spark, sf_dir):
+    """P10: LIKE-across-columns catalog search (reference
+    src/database_manager.py:157-162) on the *extracted* catalog."""
+    pages = _pages(spark, sf_dir)
+    cat = wv.run_wave(pages, seed_search_url())
+    return ts.keyword_search(cat, "key", ("title", "abstract")) \
+        .select("doi", "title", "abstract")
+
+
+SQL_KEYWORD_SEARCH = (
+    f"WITH {D_CTE} SELECT doi, title, abstract FROM d "
+    "WHERE title LIKE '%key%' OR abstract LIKE '%key%'")
+
+
+def q_title_jaccard(spark, sf_dir):
+    """J5/F13: all-pairs title-token Jaccard ≥ 0.5 on a bounded slice
+    (reference check_duplicates.py:50-57); integer (n_inter, n_union) out."""
+    der = _derived(_docs(spark, sf_dir)).filter(F.col("doc_id") < 120)
+    base = der.select(F.col("doc_id").alias("id"),
+                      F.array_distinct(scalars.title_tokens(F.col("title"))).alias("toks"))
+    a = base.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = base.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks"))
+    inter, union = td.jaccard_counts(F.col("a_toks"), F.col("b_toks"))
+    return (a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("n_inter", inter).withColumn("n_union", union)
+            .filter(F.col("n_inter") * 2 >= F.col("n_union"))
+            .select("a_id", "b_id", "n_inter", "n_union"))
+
+
+SQL_TITLE_JACCARD = f"""
+WITH {D_CTE},
+t AS (SELECT doc_id, list_distinct(string_split_regex(lower(trim(title)), '\\s+')) AS toks
+      FROM d WHERE doc_id < 120)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       len(list_intersect(a.toks, b.toks)) AS n_inter,
+       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks)) * 2 >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+"""
+
+
+# ==========================================================================
+# Training-data pipeline queries (documents / embeddings tables)
+# ==========================================================================
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) hash-groupBy, min-id survivor."""
+    return td.exact_dedup(_docs(spark, sf_dir)) \
+        .select("text_hash", "doc_id", "n_copies")
+
+
+SQL_DEDUP_EXACT = ("SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, "
+                   "count(*) AS n_copies FROM documents GROUP BY md5(text)")
+
+
+def q_dedup_ngram(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs ≥ 0.2 (exact verification kernel;
+    bounded all-pairs slice)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return td.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+SQL_DEDUP_NGRAM = """
+WITH g AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(1, len(string_split(lower(text), ' ')) - 2)),
+    i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS grams
+  FROM documents WHERE doc_id < 150)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       len(list_intersect(a.grams, b.grams)) AS n_inter,
+       len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS n_union
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) * 10000
+      >= 2000 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+"""
+
+
+def _sql_token_hashes(text_expr: str) -> str:
+    from ..functions.texthash import sql_hash60
+    return ("list_transform(list_distinct(string_split(lower(" + text_expr
+            + "), ' ')), t -> " + sql_hash60("t") + ")")
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs, verified at token
+    Jaccard ≥ 0.7 — the scale path (no all-pairs stage)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return td.minhash_lsh_pairs(docs, threshold=0.7)
+
+
+def _sql_minhash() -> str:
+    coeffs = perm_coeffs(td.N_PERMS)
+    th = _sql_token_hashes("text")
+    mins = ", ".join(
+        f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_31})) AS m{j}"
+        for j, (a, b) in enumerate(coeffs))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || ',' || ".join(f"m{bi * td.ROWS_PER_BAND + r}"
+                             for r in range(td.ROWS_PER_BAND))
+        + " AS sig FROM sig"
+        for bi in range(td.N_BANDS))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {th} AS th,
+         list_distinct(string_split(lower(text), ' ')) AS toks
+  FROM documents WHERE doc_id < 200),
+sig AS (SELECT doc_id, toks, {mins} FROM base),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+SELECT c.a_id, c.b_id,
+       len(list_intersect(a.toks, b.toks)) AS n_inter,
+       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union
+FROM cand c
+JOIN sig a ON a.doc_id = c.a_id
+JOIN sig b ON b.doc_id = c.b_id
+WHERE len(list_intersect(a.toks, b.toks)) * 10000
+      >= 7000 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash signature per document (vectorized bit votes)."""
+    return td.simhash_table(_docs(spark, sf_dir))
+
+
+def _sql_simhash() -> str:
+    th = _sql_token_hashes("text")
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h // {1 << i}) % 2 = 1)) > len(th) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(td.SIMHASH_BITS))
+    return (f"WITH base AS (SELECT doc_id, {th} AS th FROM documents) "
+            f"SELECT doc_id, ({bits})::BIGINT AS simhash FROM base")
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-heuristic language ID with per-language scores."""
+    return ts.lang_id_table(_docs(spark, sf_dir))
+
+
+def _sql_lang_id() -> str:
+    score_cols = []
+    for lg in ts.LANG_ORDER:
+        lst = ", ".join(f"'{w}'" for w in ts.STOPWORDS[lg])
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({lst}))) AS score_{lg}")
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in ts.LANG_ORDER) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in ts.LANG_ORDER) + " END"
+    return (f"WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents) "
+            f"SELECT doc_id, {case} AS pred_lang, "
+            + ", ".join(f"score_{lg}" for lg in ts.LANG_ORDER) + " FROM s")
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-filter features: word/char counts, stopword & punctuation
+    ratios, composite score (integer basis points)."""
+    return ts.quality_table(_docs(spark, sf_dir))
+
+
+def _sql_text_quality() -> str:
+    en = ", ".join(f"'{w}'" for w in ts.STOPWORDS["en"])
+    return f"""
+WITH b AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(string_split(lower(text), ' ')) AS n_words,
+         list_sum(list_transform(string_split(lower(text), ' '), w -> length(w)))::BIGINT AS sum_len,
+         len(list_filter(string_split(lower(text), ' '), w -> w IN ({en}))) AS n_stop,
+         len(string_split_regex(text, '{ts.PUNCT_REGEX}')) - 1 AS n_punct
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars, n_words,
+         (sum_len * 100) // n_words AS avg_word_len_c,
+         (n_stop * 10000) // n_words AS stopword_ratio_bp,
+         (n_punct * 10000) // n_chars AS punct_ratio_bp
+  FROM b)
+SELECT doc_id, n_chars, n_words, avg_word_len_c, stopword_ratio_bp, punct_ratio_bp,
+       (4 * least(n_words * 100, 10000) + 4 * least(5 * stopword_ratio_bp, 10000)
+        + 2 * (10000 - least(10 * punct_ratio_bp, 10000))) // 10 AS quality_score_bp
+FROM r
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer + TTR."""
+    return ts.token_stats_table(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_STATS = f"""
+WITH b AS (
+  SELECT doc_id,
+         len(string_split_regex(text, '\\s+')) AS ws_tokens,
+         len(regexp_extract_all(text, '{ts.TOKEN_REGEX}')) AS bpe_tokens,
+         len(list_distinct(string_split_regex(text, '\\s+'))) AS distinct_ws_tokens
+  FROM documents)
+SELECT doc_id, ws_tokens, bpe_tokens, distinct_ws_tokens,
+       (distinct_ws_tokens * 10000) // ws_tokens AS ttr_bp
+FROM b
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprint: min md5-hash over 8-char shingles, stride 4
+    (winnowing-style min-sampling)."""
+    return ts.fingerprint_table(_docs(spark, sf_dir))
+
+
+def _sql_fingerprint() -> str:
+    from ..functions.texthash import sql_hash60
+    h = sql_hash60(f"substr(text, i, {ts.SHINGLE_LEN})")
+    return (f"SELECT doc_id, list_min(list_transform("
+            f"generate_series(1, greatest(1, length(text) - {ts.SHINGLE_LEN - 1}), {ts.SHINGLE_STRIDE}), "
+            f"i -> {h})) AS fingerprint FROM documents")
+
+
+def q_embedding_norms(spark, sf_dir):
+    """array<float> plumbing: dimension + L2 norm per vector (zip_with /
+    aggregate higher-order functions, JVM-side)."""
+    return sim.embedding_norms(_emb(spark, sf_dir))
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id < 8):
+    broadcast queries, per-query top-k window."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return sim.brute_force_topk(emb, queries, k=5)
+
+
+SQL_ANN_TOPK = """
+WITH c AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(n.embedding, q.embedding),
+                                 p -> cast(p[1] AS DOUBLE) * cast(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(n.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))) AS cos
+  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < 8),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM c)
+SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.425 (threshold sits in a
+    data-verified 0.005-wide gap so engine float drift cannot flip a pair)."""
+    return td.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.425)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH c AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                 p -> cast(p[1] AS DOUBLE) * cast(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT a_id, b_id, round(cos, 4) AS cos_sim FROM c WHERE cos >= 0.425
+"""
+
+
+def q_embedding_label_stats(spark, sf_dir):
+    """groupBy label rollup over the embedding table (partial-agg friendly:
+    count/min/max only, engine-exact)."""
+    return (_emb(spark, sf_dir).groupBy("label")
+            .agg(F.count("*").alias("n_vecs"),
+                 F.min("vec_id").alias("min_vec_id"),
+                 F.max("vec_id").alias("max_vec_id")))
+
+
+SQL_EMBEDDING_LABEL_STATS = (
+    "SELECT label, count(*) AS n_vecs, min(vec_id) AS min_vec_id, "
+    "max(vec_id) AS max_vec_id FROM embeddings GROUP BY label")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload + typed metadata via Arrow-batched
+    mapInPandas decode (decode itself is a deterministic stub — see
+    operators/multimodal.py)."""
+    media = mm.media_from_documents(_docs(spark, sf_dir))
+    return mm.extract_media_meta(media)
+
+
+SQL_MULTIMODAL_META = """
+WITH m AS (SELECT doc_id, ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
+                  octet_length(encode(text))::INT AS n
+           FROM documents)
+SELECT doc_id, media_type, n AS n_bytes,
+  CASE media_type WHEN 'image' THEN 16 + n % 640 WHEN 'video' THEN 16 + n % 320 END::INT AS width,
+  CASE media_type WHEN 'image' THEN 16 + (n * 7) % 480 WHEN 'video' THEN 16 + (n * 3) % 240 END::INT AS height,
+  CASE media_type WHEN 'audio' THEN 8000 + (n % 5) * 8000 END::INT AS sample_rate,
+  CASE media_type WHEN 'video' THEN 1 + n % 5 END::INT AS n_frames,
+  CASE media_type WHEN 'image' THEN 'fake/png' WHEN 'audio' THEN 'fake/pcm' ELSE 'fake/h264' END AS codec
+FROM m
+"""
+
+
+# ==========================================================================
+# Rows-only queries (no SQL-expressible oracle; pytest covers semantics)
+# ==========================================================================
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate ANN: deterministic random-hyperplane LSH buckets, exact
+    re-rank within probed buckets (recall vs brute force pytest-gated)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return sim.lsh_topk(emb, queries, k=5, dim=64, n_planes=6, n_probes=3)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash hamming-≤2 candidate pairs via half-signature bucketing."""
+    return td.simhash_near_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+
+
+def q_media_frames(spark, sf_dir):
+    """Frame sampling over video payloads (row-multiplying mapInPandas)."""
+    media = mm.media_from_documents(_docs(spark, sf_dir))
+    return (mm.sample_frames(media)
+            .select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes")))
+
+
+def q_multiwave_crawl(spark, sf_dir):
+    """Resumable multi-wave crawl (politeness-budgeted waves + snapshot
+    checkpoints); returns the final catalog. Oracle-exempt: stateful
+    iterative loop — parity vs the reference simulator is pytest-gated
+    (tests/test_wave_parity.py)."""
+    import tempfile
+    from ..sources.store import SnapshotStore
+    pages = _pages(spark, sf_dir)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="scrawl_wave_"))
+    cat = wv.crawl(spark, pages, seed_search_url(), store,
+                   wave_seconds=150, max_waves=12, n_shards=4)
+    return cat.select("seq", "doi", "title", "content_md5")
+
+
+# ==========================================================================
+# Registry
+# ==========================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "crawl_catalog": q_crawl_catalog,
+    "search_cards": q_search_cards,
+    "cards_dedup_first": q_cards_dedup_first,
+    "crawl_topk": q_crawl_topk,
+    "frontier_enqueue": q_frontier_enqueue,
+    "frontier_fifo": q_frontier_fifo,
+    "host_skew_stats": q_host_skew_stats,
+    "politeness_budget": q_politeness_budget,
+    "retry_backoff": q_retry_backoff,
+    "scalar_suite": q_scalar_suite,
+    "date_parsing": q_date_parsing,
+    "content_hashes": q_content_hashes,
+    "keyword_search": q_keyword_search,
+    "title_jaccard": q_title_jaccard,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "lang_id": q_lang_id,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_fingerprint,
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "embedding_label_stats": q_embedding_label_stats,
+    "multimodal_meta": q_multimodal_meta,
+    # rows-only (no SQL-expressible oracle)
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "media_frames": q_media_frames,
+    "multiwave_crawl": q_multiwave_crawl,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "crawl_catalog": SQL_CRAWL_CATALOG,
+        "search_cards": SQL_SEARCH_CARDS,
+        "cards_dedup_first": SQL_CARDS_DEDUP_FIRST,
+        "crawl_topk": SQL_CRAWL_TOPK,
+        "frontier_enqueue": SQL_FRONTIER_ENQUEUE,
+        "frontier_fifo": SQL_FRONTIER_FIFO,
+        "host_skew_stats": SQL_HOST_SKEW,
+        "politeness_budget": SQL_POLITENESS,
+        "retry_backoff": SQL_RETRY_BACKOFF,
+        "scalar_suite": SQL_SCALAR_SUITE,
+        "date_parsing": SQL_DATE_PARSING,
+        "content_hashes": SQL_CONTENT_HASHES,
+        "keyword_search": SQL_KEYWORD_SEARCH,
+        "title_jaccard": SQL_TITLE_JACCARD,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram": SQL_DEDUP_NGRAM,
+        "dedup_minhash_lsh": _sql_minhash(),
+        "dedup_simhash": _sql_simhash(),
+        "lang_id": _sql_lang_id(),
+        "text_quality": _sql_text_quality(),
+        "token_stats": SQL_TOKEN_STATS,
+        "doc_fingerprint": _sql_fingerprint(),
+        "embedding_norms": SQL_EMBEDDING_NORMS,
+        "ann_cosine_topk": SQL_ANN_TOPK,
+        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
+        "multimodal_meta": SQL_MULTIMODAL_META,
+    }
