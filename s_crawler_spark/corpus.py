@@ -125,6 +125,21 @@ def derive_doc(doc_id: int, text: str, lang: str) -> dict:
 # HTML renderers (science.org-shaped markup; selectors per the reference)
 # --------------------------------------------------------------------------
 
+def render_filler(d: dict, n_spans: int) -> str:
+    """Deterministic inert ballast: related-reading spans that match none of
+    the extraction selectors (no card/abstract/pdf/download markup, no 'pdf'
+    hrefs). Real Common-Crawl pages are 10-100 KB of mostly-irrelevant DOM;
+    this lets the bench corpus reproduce that parse load (BENCH_WEIGHT) while
+    keeping every extracted value byte-identical."""
+    if n_spans <= 0:
+        return ""
+    words = (d["title"] + " " + d["abstract"]).split(" ")
+    spans = "".join(
+        f'<span class="rr-item">{words[i % len(words)]} {i}</span>'
+        for i in range(n_spans))
+    return f'<div class="related-reading">{spans}</div>'
+
+
 def render_card(d: dict) -> str:
     href, title = d["detail_href"], d["title"]
     v = d["doc_id"] % 4
@@ -151,10 +166,12 @@ BROKEN_CARD = ('<div class="card pb-3 mb-4 border-bottom">'
                '<div class="card-header"></div><time>01 Jan 2020</time></div>')
 
 
-def render_search_page(page_num: int, cards_html: list[str], has_next: bool) -> str:
+def render_search_page(page_num: int, cards_html: list[str], has_next: bool,
+                       filler_html: str = "") -> str:
     cards = list(cards_html)
     if page_num % 2 == 0:
         cards.insert(0, BROKEN_CARD)
+    cards.append(filler_html)
     pager = ('<ul class="pagination"><li class="page-item active"><a>cur</a></li>'
              + (f'<li class="page-item"><a href="{SEARCH_URL_FMT.format(p=page_num + 1)}">next</a></li>'
                 if has_next else "")
@@ -163,7 +180,7 @@ def render_search_page(page_num: int, cards_html: list[str], has_next: bool) -> 
             + "".join(cards) + pager + "</div></body></html>")
 
 
-def render_detail_page(d: dict) -> str:
+def render_detail_page(d: dict, filler: int = 0) -> str:
     v = d["doc_id"] % 3
     if v == 0:
         abstract = f'<div role="paragraph">{d["abstract"]}</div>'
@@ -183,7 +200,8 @@ def render_detail_page(d: dict) -> str:
         pdf = f'<a href="{epdf_href}"><i class="icon-pdf"></i></a>'
     else:
         pdf = f'<a class="pdf-link" href="{epdf_href}">PDF</a>'
-    return (f"<html><body><h1>{d['title']}</h1>{abstract}{pdf}</body></html>")
+    return (f"<html><body><h1>{d['title']}</h1>{abstract}{pdf}"
+            f"{render_filler(d, filler)}</body></html>")
 
 
 def render_viewer_page(d: dict) -> str:
@@ -211,54 +229,67 @@ PAGES_SCHEMA = T.StructType([
 ])
 
 
-def _doc_pages_batches(batches):
-    """mapInPandas kernel: one document → detail + viewer + payload rows."""
-    for pdf_batch in batches:
-        rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+def _make_doc_pages_kernel(filler: int):
+    """mapInPandas kernel factory: one document → detail + viewer + payload
+    rows (closure carries only the plain int, never a DataFrame)."""
+    def kernel(batches):
+        for pdf_batch in batches:
+            rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
 
-        def emit(url, ts, html, text, lang):
-            rows["url"].append(url)
-            rows["warc_ts"].append(ts)
-            rows["html"].append(html if isinstance(html, bytes) else html.encode("utf-8"))
-            rows["text"].append(text)
-            rows["lang"].append(lang)
+            def emit(url, ts, html, text, lang):
+                rows["url"].append(url)
+                rows["warc_ts"].append(ts)
+                rows["html"].append(html if isinstance(html, bytes) else html.encode("utf-8"))
+                rows["text"].append(text)
+                rows["lang"].append(lang)
 
-        for doc_id, text, lang in zip(pdf_batch["doc_id"], pdf_batch["text"], pdf_batch["lang"]):
-            d = derive_doc(int(doc_id), text, lang)
-            ts = BASE_TS + timedelta(seconds=int(doc_id))
-            emit(d["detail_url"], ts, render_detail_page(d),
-                 f"{d['title']} {d['abstract']}", lang)
-            emit(d["pdf_page_url"], ts, render_viewer_page(d), "PDF viewer", "en")
-            emit(d["download_url"], ts, d["payload"], None, None)
-        yield pd.DataFrame(rows)
+            for doc_id, text, lang in zip(pdf_batch["doc_id"], pdf_batch["text"], pdf_batch["lang"]):
+                d = derive_doc(int(doc_id), text, lang)
+                ts = BASE_TS + timedelta(seconds=int(doc_id))
+                emit(d["detail_url"], ts, render_detail_page(d, filler=filler),
+                     f"{d['title']} {d['abstract']}", lang)
+                emit(d["pdf_page_url"], ts, render_viewer_page(d), "PDF viewer", "en")
+                emit(d["download_url"], ts, d["payload"], None, None)
+            yield pd.DataFrame(rows)
+    return kernel
 
 
-def _search_page_group(key, pdf_group: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one search page from its (own + carried-over) cards."""
-    page_num = int(key[0])
-    g = pdf_group.sort_values(["role", "doc_id"])
-    cards = [render_card(derive_doc(int(r.doc_id), r.text, r.lang))
-             for r in g.itertuples()]
-    has_next = bool(g["has_next"].iloc[0])
-    html = render_search_page(page_num, cards, has_next)
-    return pd.DataFrame({
-        "url": [SEARCH_URL_FMT.format(p=page_num)],
-        "warc_ts": [BASE_TS + timedelta(seconds=page_num)],
-        "html": [html.encode("utf-8")],
-        "text": ["search results"],
-        "lang": ["en"],
-    })
+def _make_search_page_kernel(filler: int):
+    """applyInPandas kernel factory: one search page from its (own +
+    carried-over) cards."""
+    def kernel(key, pdf_group: pd.DataFrame) -> pd.DataFrame:
+        page_num = int(key[0])
+        g = pdf_group.sort_values(["role", "doc_id"])
+        derived = [derive_doc(int(r.doc_id), r.text, r.lang)
+                   for r in g.itertuples()]
+        cards = [render_card(d) for d in derived]
+        filler_html = render_filler(derived[0], filler) if derived else ""
+        has_next = bool(g["has_next"].iloc[0])
+        html = render_search_page(page_num, cards, has_next, filler_html)
+        return pd.DataFrame({
+            "url": [SEARCH_URL_FMT.format(p=page_num)],
+            "warc_ts": [BASE_TS + timedelta(seconds=page_num)],
+            "html": [html.encode("utf-8")],
+            "text": ["search results"],
+            "lang": ["en"],
+        })
+    return kernel
 
 
 def synthesize_pages(spark: SparkSession, sf_dir: str,
-                     docs_limit: int | None = None) -> DataFrame:
-    """Build the ``pages`` corpus DataFrame from ``{sf_dir}/documents.parquet``."""
+                     docs_limit: int | None = None,
+                     filler: int = 0) -> DataFrame:
+    """Build the ``pages`` corpus DataFrame from ``{sf_dir}/documents.parquet``.
+
+    ``filler`` adds that many inert DOM spans per detail/search page
+    (render_filler) — extracted values are unchanged; parse cost grows to
+    Common-Crawl-realistic page weights for benchmarking."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text", "lang")
     if docs_limit is not None:
         docs = docs.filter(F.col("doc_id") < docs_limit)
 
-    doc_pages = docs.mapInPandas(_doc_pages_batches, schema=PAGES_SCHEMA)
+    doc_pages = docs.mapInPandas(_make_doc_pages_kernel(filler), schema=PAGES_SCHEMA)
 
     n_docs_df = docs.agg(F.max("doc_id").alias("mx"))
     max_doc = n_docs_df.collect()[0]["mx"]
@@ -280,7 +311,7 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
         "has_next", F.col("page_num") < F.lit(last_page)
     )
     search_pages = assigned.groupBy("page_num").applyInPandas(
-        _search_page_group, schema=PAGES_SCHEMA
+        _make_search_page_kernel(filler), schema=PAGES_SCHEMA
     )
     return doc_pages.unionByName(search_pages)
 

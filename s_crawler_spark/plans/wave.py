@@ -83,6 +83,25 @@ def fetch_parse(pages: DataFrame, batch: DataFrame) -> DataFrame:
     publication_date, authors). Returns one row per candidate with extracted
     fields, ``downloaded`` flag and ``content_md5``; candidates whose hops
     miss keep NULLs and downloaded=false (→ retry bookkeeping).
+
+    Join shape (the load-bearing scale decision): the ``html`` column must
+    NEVER enter a shuffle or a broadcast. An outer join that preserves the
+    candidate side cannot broadcast it (Spark builds only the non-preserved
+    side), so a naive ``batch.join(pages, 'left')`` shuffles the whole heavy
+    corpus per hop. Instead each hop is:
+
+      1. broadcast LEFT-SEMI join of the hop's key set against ``pages`` —
+         streams the corpus, keeps only fetched rows, no shuffle;
+      2. extraction UDF on the surviving rows, html projected away;
+      3. broadcast left join of the (small) extracted table back to the
+         batch — preserves unmatched candidates with NULLs.
+
+    Each intermediate is lazily localCheckpoint'ed: the next hop's key set
+    and the final join both consume it, and the checkpoint stops the heavy
+    extraction from executing once per consumer. At wave sizes where the key
+    set outgrows broadcast, the same dataflow runs as a bucket-join against
+    an Iceberg ``pages`` table bucketed by url hash — still shuffle-free on
+    the pages side.
     """
     detail = pages.select(F.col("url"), F.col("html"))
     viewer = pages.select(F.col("url").alias("pdf_page_url"),
@@ -90,32 +109,53 @@ def fetch_parse(pages: DataFrame, batch: DataFrame) -> DataFrame:
     payload = pages.select(F.col("url").alias("download_link"),
                            F.col("html").alias("payload"))
 
-    step1 = (
-        batch.join(detail, on="url", how="left")
+    batch = batch.localCheckpoint(eager=False)
+
+    d1 = (
+        detail.join(F.broadcast(batch.select("url").distinct()),
+                    on="url", how="left_semi")
         .withColumn("d", ex.extract_detail_udf(F.col("html")))
-        .select(*batch.columns,
-                F.col("html").isNotNull().alias("fetched_detail"),
+        .select("url", F.lit(True).alias("fetched_detail"),
                 F.col("d.abstract").alias("abstract"),
                 F.col("d.pdf_page_url").alias("pdf_page_url"))
     )
+    step1 = (
+        batch.join(F.broadcast(d1), on="url", how="left")
+        .withColumn("fetched_detail",
+                    F.coalesce(F.col("fetched_detail"), F.lit(False)))
+        .localCheckpoint(eager=False)
+    )
+    v1 = (
+        viewer.join(F.broadcast(
+            step1.filter(F.col("pdf_page_url").isNotNull())
+            .select("pdf_page_url").distinct()), on="pdf_page_url", how="left_semi")
+        .select("pdf_page_url",
+                ex.find_download_link_udf(F.col("viewer_html")).alias("download_link"))
+    )
     step2 = (
-        step1.join(viewer, on="pdf_page_url", how="left")
-        .withColumn("download_link", ex.find_download_link_udf(F.col("viewer_html")))
-        .drop("viewer_html")
+        step1.join(F.broadcast(v1), on="pdf_page_url", how="left")
+        .localCheckpoint(eager=False)
+    )
+    p1 = (
+        payload.join(F.broadcast(
+            step2.filter(F.col("download_link").isNotNull())
+            .select("download_link").distinct()), on="download_link", how="left_semi")
+        .select("download_link",
+                ex.valid_pdf_content(F.col("payload")).alias("pdf_valid"),
+                scalars.content_md5(F.col("payload")).alias("payload_md5"))
     )
     step3 = (
-        step2.join(payload, on="download_link", how="left")
-        .withColumn("pdf_valid",
-                    F.coalesce(ex.valid_pdf_content(F.col("payload")), F.lit(False)))
+        step2.join(F.broadcast(p1), on="download_link", how="left")
+        .withColumn("pdf_valid", F.coalesce(F.col("pdf_valid"), F.lit(False)))
         .withColumn("content_md5",
-                    F.when(F.col("pdf_valid"), scalars.content_md5(F.col("payload"))))
-        .drop("payload")
+                    F.when(F.col("pdf_valid"), F.col("payload_md5")))
+        .drop("payload_md5")
     )
     return step3.withColumn(
         "downloaded",
         F.col("fetched_detail") & F.col("pdf_valid")
         & F.col("pdf_page_url").isNotNull() & F.col("download_link").isNotNull(),
-    ).drop("fetched_detail", "pdf_valid")
+    ).drop("fetched_detail", "pdf_valid").localCheckpoint(eager=False)
 
 
 ARTICLE_COLS = ["seq", "title", "url", "doi", "journal", "publication_date",
@@ -132,6 +172,9 @@ def run_wave(pages: DataFrame, seed_url: str,
     newly stored articles in crawl order (``seq``)."""
     cand = collect_candidates(pages, seed_url, wave=wave,
                               max_count=max_count, catalog=catalog)
+    # fetch_parse returns a checkpointed frame, so the four-way branch in the
+    # tiered insert dedup re-reads materialized blocks instead of re-running
+    # the discover→fetch→extract pipeline per branch
     fetched = fetch_parse(pages, cand)
     # the reference skips (does not store) articles whose fetch chain failed
     # (process_article returns None → no callback, science_crawler_main.py:242)
