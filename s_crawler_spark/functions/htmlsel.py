@@ -39,7 +39,8 @@ _WS_RE = re.compile(r"\s+")
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "_texts")
+    __slots__ = ("tag", "attrs", "children", "parent", "_texts",
+                 "_ord", "_ord_end", "_indexes")
 
     def __init__(self, tag, attrs, parent):
         self.tag = tag
@@ -47,6 +48,9 @@ class Element:
         self.children = []
         self.parent = parent
         self._texts = []  # interleaved raw text chunks
+        self._ord = 0        # document-order number (index pass)
+        self._ord_end = 0    # max _ord in this subtree (index pass)
+        self._indexes = None  # on the root: (class_idx, tag_idx, id_idx)
 
     @property
     def classes(self):
@@ -249,16 +253,102 @@ def _matches_chain(el, chain, idx):
     return False
 
 
-def _iter_matches(scope, compiled):
-    last_idx = {id(chain): len(chain) - 1 for chain in compiled}
-    for node in scope.iter():
-        if node is scope:
+def _ensure_index(root):
+    """Lazy per-document candidate index: class/tag/id → elements in document
+    order, plus (_ord, _ord_end) intervals for O(1) subtree-membership tests.
+    The DOM is immutable after parse, so the index is built at most once.
+
+    This is the hot-path optimization for Common-Crawl-weight pages: a
+    selector probe touches only elements sharing its rightmost compound's
+    class/tag instead of walking the whole (mostly-ballast) DOM once per
+    cascade entry.
+    """
+    if root._indexes is not None:
+        return root._indexes
+    class_idx, tag_idx, id_idx = {}, {}, {}
+    counter = 0
+    stack = [(root, False)]
+    while stack:
+        el, done = stack.pop()
+        if done:
+            el._ord_end = counter
             continue
-        for chain in compiled:
-            li = last_idx[id(chain)]
-            if chain[li][1].matches(node) and _matches_chain(node, chain, li):
-                yield node
-                break
+        counter += 1
+        el._ord = counter
+        stack.append((el, True))
+        for ch in reversed(el.children):
+            stack.append((ch, False))
+        if el.parent is not None:
+            tag_idx.setdefault(el.tag, []).append(el)
+            for c in el.classes:
+                class_idx.setdefault(c, []).append(el)
+            i = el.attrs.get("id")
+            if i is not None:
+                id_idx.setdefault(i, []).append(el)
+    root._indexes = (class_idx, tag_idx, id_idx)
+    return root._indexes
+
+
+def _candidate_list(compound, class_idx, tag_idx, id_idx):
+    """Document-ordered superset of elements that can match ``compound``, or
+    None when the compound is unindexable (bare ``*`` / attr-only)."""
+    if compound.id is not None:
+        return id_idx.get(compound.id, ())
+    if compound.classes:
+        return min((class_idx.get(c, ()) for c in compound.classes), key=len)
+    if compound.tag is not None and compound.tag != "*":
+        return tag_idx.get(compound.tag, ())
+    return None
+
+
+def _iter_matches(scope, compiled):
+    root = scope
+    while root.parent is not None:
+        root = root.parent
+    class_idx, tag_idx, id_idx = _ensure_index(root)
+    lo, hi = scope._ord, scope._ord_end
+
+    plans = []
+    for chain in compiled:
+        lst = _candidate_list(chain[-1][1], class_idx, tag_idx, id_idx)
+        if lst is None:
+            plans = None  # unindexable compound → full-walk fallback
+            break
+        plans.append((chain, lst))
+
+    if plans is None:
+        last_idx = {id(chain): len(chain) - 1 for chain in compiled}
+        for node in scope.iter():
+            if node is scope:
+                continue
+            for chain in compiled:
+                li = last_idx[id(chain)]
+                if chain[li][1].matches(node) and _matches_chain(node, chain, li):
+                    yield node
+                    break
+        return
+
+    if len(plans) == 1:
+        chain, lst = plans[0]
+        li = len(chain) - 1
+        last = chain[li][1]
+        for el in lst:
+            if lo < el._ord <= hi and last.matches(el) \
+                    and _matches_chain(el, chain, li):
+                yield el
+        return
+
+    # selector list: merge candidates, dedupe, emit in document order
+    merged = {}
+    for chain, lst in plans:
+        li = len(chain) - 1
+        last = chain[li][1]
+        for el in lst:
+            if lo < el._ord <= hi and el._ord not in merged \
+                    and last.matches(el) and _matches_chain(el, chain, li):
+                merged[el._ord] = el
+    for k in sorted(merged):
+        yield merged[k]
 
 
 def find_elements(scope, selector):

@@ -674,7 +674,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
-    return sim.lsh_topk(emb, queries, k=5, dim=64, n_planes=6, n_probes=3)
+    return sim.lsh_topk(emb, queries, k=5, dim=64)
 
 
 def q_simhash_near_pairs(spark, sf_dir):

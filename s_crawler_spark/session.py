@@ -40,7 +40,11 @@ def get_spark(app_name: str = "s_crawler_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # bound Arrow batches by record count sized for the page weight in
+        # play: heavy (~100 KB) pages at 2048 records/batch would pin ~200 MB
+        # per in-flight task and thrash the heap at high core counts
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_ARROW_BATCH", "512"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,159 @@
+"""Structured-Streaming face of the crawl engine (SURVEY.md §2.9).
+
+The batch wave loop (plans/wave.py) is the primary execution mode per the
+north rule; this module exposes the same state machine as a continuous
+pipeline for deployments that want incremental frontier ingestion instead of
+wave barriers:
+
+- ``stream_discoveries``: file-source ``readStream`` over the frontier
+  snapshot directory — each committed wave's parquet becomes a micro-batch.
+- ``host_rate_metrics``: event-time windowed per-host discovery counts with a
+  watermark for late rows — the streaming analogue of the per-wave metrics
+  table (reference science_crawler_main.py:268-281 step ledger).
+- ``politeness_admission``: ``applyInPandasWithState`` per-host token-bucket
+  — the stateful-operator form of operators/politeness.compose_wave: state
+  carries (tokens, last_ts) per host; each micro-batch admits at most the
+  tokens accrued since the last batch at 1000/crawl_delay_ms tokens/sec.
+
+Scale notes: the stream is keyed (and therefore shuffled) only on ``host``
+— the same partitioning axis as the batch politeness stage, so the Zipf-head
+host is one state partition whose admission output is bounded by its own
+token budget regardless of input volume. Payload columns never enter the
+stream; only frontier metadata rows do.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+FRONTIER_STREAM_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("url_hash", T.LongType(), True),
+    T.StructField("host", T.StringType(), True),
+    T.StructField("priority", T.IntegerType(), True),
+    T.StructField("wave", T.IntegerType(), True),
+    T.StructField("seq", T.LongType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("attempts", T.IntegerType(), True),
+    T.StructField("last_error", T.StringType(), True),
+    T.StructField("next_eligible", T.TimestampType(), True),
+    T.StructField("discovered_at", T.TimestampType(), True),
+])
+
+
+def stream_discoveries(spark: SparkSession, frontier_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over committed frontier snapshots (one parquet dir per
+    wave under ``frontier_dir``)."""
+    reader = (spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
+              .option("recursiveFileLookup", "true"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(frontier_dir)
+
+
+def host_rate_metrics(discoveries: DataFrame,
+                      window_seconds: int = 60,
+                      watermark_seconds: int = 120) -> DataFrame:
+    """Per-host discovery rate over event-time windows with late-data
+    watermark (streaming A3/A6 analogue)."""
+    return (
+        discoveries
+        .withWatermark("discovered_at", f"{watermark_seconds} seconds")
+        .groupBy(F.window("discovered_at", f"{window_seconds} seconds")
+                 .alias("win"),
+                 F.col("host"))
+        .agg(F.count("*").alias("n_discovered"),
+             F.sum(F.when(F.col("status") == "pending", 1).otherwise(0))
+             .alias("n_pending"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "host", "n_discovered", "n_pending")
+    )
+
+
+ADMIT_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType(), False),
+    T.StructField("url", T.StringType(), False),
+    T.StructField("seq", T.LongType(), True),
+    T.StructField("admitted_at", T.TimestampType(), True),
+])
+_STATE_SCHEMA = T.StructType([
+    T.StructField("tokens", T.DoubleType()),
+    T.StructField("last_epoch", T.DoubleType()),
+])
+
+
+def _make_admission_fn(crawl_delay_ms: int, burst: int):
+    rate = 1000.0 / crawl_delay_ms  # tokens per second
+
+    def admit(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (host,) = key
+        if state.exists:
+            tokens, last_epoch = state.get
+        else:
+            tokens, last_epoch = float(burst), None
+        rows = pd.concat(list(pdfs)).sort_values("seq")
+        # token accrual uses event time (discovered_at) — deterministic
+        # under replay, no wall clock anywhere
+        now_epoch = rows["discovered_at"].max().timestamp()
+        if last_epoch is not None:
+            tokens = min(burst, tokens + rate * max(0.0, now_epoch - last_epoch))
+        n_admit = int(tokens)
+        admitted = rows.head(n_admit)
+        state.update((tokens - len(admitted), now_epoch))
+        yield pd.DataFrame({
+            "host": admitted["host"] if len(admitted) else pd.Series([], dtype=object),
+            "url": admitted["url"],
+            "seq": admitted["seq"],
+            "admitted_at": admitted["discovered_at"],
+        })
+
+    return admit
+
+
+def politeness_admission(discoveries: DataFrame,
+                         crawl_delay_ms: int = 1000,
+                         burst: int = 60) -> DataFrame:
+    """Stateful per-host token-bucket admission (the streaming form of
+    compose_wave's per-host budget; reference politeness sleeps
+    src/pdf_processor.py:213-217 re-expressed as admission control)."""
+    return (
+        discoveries.filter(F.col("status") == "pending")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _make_admission_fn(crawl_delay_ms, burst),
+            outputStructType=ADMIT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_metrics_stream(spark: SparkSession, frontier_dir: str,
+                       out_dir: str, checkpoint_dir: str) -> None:
+    """One-shot (availableNow) metrics pipeline: drain all committed
+    snapshots, append windowed per-host metrics to parquet, stop. Restart
+    with the same checkpoint resumes from the last processed file."""
+    q = (
+        # one file per micro-batch: the watermark only advances between
+        # batches, so later snapshots must land in later batches for
+        # append-mode windows over earlier snapshots to close and emit
+        host_rate_metrics(stream_discoveries(spark, frontier_dir,
+                                             max_files_per_trigger=1))
+        .writeStream
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

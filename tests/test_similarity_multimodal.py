@@ -1,0 +1,104 @@
+"""ANN similarity search + multimodal plumbing
+(operators/similarity.py, operators/multimodal.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s_crawler_spark.operators import multimodal as mm
+from s_crawler_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+
+
+def test_brute_force_topk_known_geometry(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    out = sim.brute_force_topk(df, q, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cos_sim"] > 0.99
+    assert out[2]["cos_sim"] == -1.0
+
+
+def test_topk_rank_contract(emb):
+    out = sim.brute_force_topk(emb, _queries(emb), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    q = _queries(emb, 8)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in sim.lsh_topk(emb, q, k=5, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_lsh_buckets_deterministic(emb):
+    b1 = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", sim.lsh_bucket(F.col("embedding"), 64, 6).alias("b")).collect()}
+    b2 = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", sim.lsh_bucket(F.col("embedding"), 64, 6).alias("b")).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 64 for v in b1.values())
+
+
+# ---------------------------- multimodal ----------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return mm.media_from_documents(docs)
+
+
+def test_media_meta_stub_formulas(media):
+    metas = mm.extract_media_meta(media).collect()
+    assert len(metas) == media.count()
+    for r in metas[:100]:
+        n = r["n_bytes"]
+        if r["media_type"] == "image":
+            assert r["width"] == 16 + n % 640
+            assert r["height"] == 16 + (n * 7) % 480
+            assert r["sample_rate"] is None and r["n_frames"] is None
+        elif r["media_type"] == "audio":
+            assert r["sample_rate"] == 8000 + (n % 5) * 8000
+            assert r["width"] is None
+        else:
+            assert r["n_frames"] == 1 + n % 5
+
+
+def test_media_meta_drops_payload_column(media):
+    meta = mm.extract_media_meta(media)
+    assert "payload" not in meta.columns
+
+
+def test_frame_sampling(media):
+    frames = mm.sample_frames(media)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    vids = {r["doc_id"]: len(r["payload"]) for r in
+            media.filter(F.col("media_type") == "video").collect()}
+    assert set(per_doc) == set(vids)
+    for d, n in per_doc.items():
+        assert n == 1 + vids[d] % 5

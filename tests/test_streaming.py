@@ -1,0 +1,79 @@
+"""Streaming face: windowed host metrics + stateful politeness admission
+(SURVEY.md §2.9) driven with availableNow triggers over committed frontier
+snapshots."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s_crawler_spark.corpus import seed_search_url
+from s_crawler_spark.plans import wave as wv
+from s_crawler_spark.operators import dedup as dd
+from s_crawler_spark.operators import frontier as fr
+from s_crawler_spark.streaming import frontier_stream as fs
+
+
+@pytest.fixture(scope="module")
+def frontier_dir(spark, pages, tmp_path_factory):
+    """Two committed waves 10 minutes apart: the second advances the
+    event-time watermark past the first wave's windows so append-mode
+    windowed aggregates actually emit."""
+    root = tmp_path_factory.mktemp("frontier_snapshots")
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    rows = fr.enqueue(fresh, wave=0, logical_now="2024-06-01 00:00:00")
+    rows.write.parquet(str(root / "wave=0"))
+    late = fr.enqueue(fresh.limit(5), wave=1, logical_now="2024-06-01 00:10:00")
+    late.write.parquet(str(root / "wave=1"))
+    return str(root)
+
+
+def test_metrics_stream_matches_batch(spark, frontier_dir, tmp_path):
+    fs.run_metrics_stream(spark, frontier_dir,
+                          str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    got = (spark.read.parquet(str(tmp_path / "out"))
+           .filter(F.col("window_start") == "2024-06-01 00:00:00")
+           .groupBy("host").agg(F.sum("n_discovered").alias("n")))
+    batch = (spark.read.parquet(frontier_dir + "/wave=0")
+             .groupBy("host").count())
+    g = {r["host"]: r["n"] for r in got.collect()}
+    b = {r["host"]: r["count"] for r in batch.collect()}
+    assert g == b
+
+
+def test_metrics_stream_resume_is_incremental(spark, frontier_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    fs.run_metrics_stream(spark, frontier_dir, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    # re-run with same checkpoint and no new files -> no duplicate output
+    fs.run_metrics_stream(spark, frontier_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_politeness_admission_budget(spark, frontier_dir, tmp_path):
+    """Token bucket: first micro-batch admits at most `burst` per host, in
+    seq order."""
+    src = fs.stream_discoveries(spark, frontier_dir)
+    admitted = fs.politeness_admission(src, crawl_delay_ms=1000, burst=25)
+    q = (admitted.writeStream.format("parquet")
+         .option("path", str(tmp_path / "adm"))
+         .option("checkpointLocation", str(tmp_path / "adm_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "adm"))
+    per_host = {r["host"]: r["count"]
+                for r in out.groupBy("host").count().collect()}
+    pending = spark.read.parquet(frontier_dir + "/wave=0")
+    avail = {r["host"]: r["count"]
+             for r in pending.groupBy("host").count().collect()}
+    assert per_host, "nothing admitted"
+    for host, n in per_host.items():
+        assert n <= 25
+        assert n == min(25, avail[host])
+    # admitted rows are the seq-smallest per host (FIFO politeness)
+    adm = out.toPandas()
+    pend = pending.toPandas()
+    for host, grp in adm.groupby("host"):
+        expect = (pend[pend.host == host].sort_values("seq")
+                  .head(len(grp))["seq"].tolist())
+        assert sorted(grp["seq"].tolist()) == expect

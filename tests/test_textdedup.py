@@ -1,0 +1,84 @@
+"""Dedup-ladder operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding near-dup (operators/textdedup.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s_crawler_spark.operators import textdedup as td
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),          # near dup of 0
+    (3, "completely different words about spark engines here"),
+    (4, "spark engines here completely different words about"),  # same token set as 3
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_first_survivor(docs):
+    out = {r["text_hash"]: r for r in td.exact_dedup(docs).collect()}
+    assert len(out) == 4  # 0/1 collapse
+    dup = [r for r in out.values() if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["doc_id"] == 0  # min id survives
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {(r["a_id"], r["b_id"]): (r["n_inter"], r["n_union"])
+             for r in td.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    i, u = pairs[(0, 1)]
+    assert i == u  # identical docs: jaccard 1
+    # 0 vs 2 share 5 of 9 distinct trigrams... verify present at >= 0.5
+    assert (0, 2) in pairs
+    # token-permuted docs share NO trigrams
+    assert (3, 4) not in pairs
+
+
+def test_minhash_identical_docs_always_pair(docs):
+    pairs = {(r["a_id"], r["b_id"])
+             for r in td.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    # identical token sets -> identical signatures -> every band collides
+    assert (0, 1) in pairs
+    assert (3, 4) in pairs  # same token set, different order
+    for a, b in pairs:
+        assert a < b
+
+
+def test_minhash_verification_filters_low_jaccard(spark):
+    rows = [(i, f"unique{i} tokens{i} nothing{i} shared{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert td.minhash_lsh_pairs(df, threshold=0.5).count() == 0
+
+
+def test_simhash_deterministic_and_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in td.simhash_table(docs).collect()}
+    assert sh[0] == sh[1]
+    assert sh[3] == sh[4]
+    assert 0 <= sh[0] < (1 << td.SIMHASH_BITS)
+    ham02 = bin(sh[0] ^ sh[2]).count("1")
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    assert ham02 <= ham03  # near-dup closer than unrelated
+
+
+def test_simhash_near_pairs_buckets(docs):
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in td.simhash_near_pairs(docs, max_hamming=2).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(3, 4)] == 0
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # ~1.0 cosine vs 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a_id"], r["b_id"]) for r in
+             td.embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}

@@ -1,0 +1,81 @@
+"""Text-analysis operators: language-ID, quality features, token stats,
+fingerprints (operators/textstats.py)."""
+
+import hashlib
+
+import pytest
+
+from s_crawler_spark.functions.texthash import MERSENNE_31
+from s_crawler_spark.operators import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat is on the mat and it was good"),
+        (1, "der hund ist nicht mit der katze und das haus"),
+        (2, "el perro es grande y no come con los gatos"),
+        (3, "xyzzy plugh quux"),                      # no stopwords anywhere
+        (4, "the der le el the the"),                 # en wins 3 vs de 1...
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r for r in ts.lang_id_table(docs).collect()}
+    assert out[0]["pred_lang"] == "en"
+    assert out[1]["pred_lang"] == "de"
+    assert out[2]["pred_lang"] == "es"
+    assert out[3]["pred_lang"] == "und"
+    assert out[4]["pred_lang"] == "en"
+    # the,cat,is,on,the,mat,and,it,was,good -> the,the,is,on,and,was = 6 hits
+    assert out[0]["score_en"] == 6
+
+
+def test_lang_tiebreak_order(spark):
+    df = spark.createDataFrame([(0, "der the")], "doc_id long, text string")
+    row = ts.lang_id_table(df).collect()[0]
+    assert row["score_en"] == row["score_de"] == 1
+    assert row["pred_lang"] == "en"  # LANG_ORDER tie-break
+
+
+def test_quality_integer_exact(spark):
+    df = spark.createDataFrame([(0, "aa bbb cccc!")], "doc_id long, text string")
+    r = ts.quality_table(df).collect()[0]
+    assert r["n_chars"] == 12
+    assert r["n_words"] == 3
+    # words lowercased: aa(2) bbb(3) cccc!(5) -> 10 chars over 3 words
+    assert r["avg_word_len_c"] == 10 * 100 // 3
+    assert r["punct_ratio_bp"] == 1 * 10000 // 12
+    assert 0 <= r["quality_score_bp"] <= 10000
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(0, "ab 12 cd-ef gh")], "doc_id long, text string")
+    r = ts.token_stats_table(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    # regex tokens: ab,12,cd,-,ef,gh
+    assert r["bpe_tokens"] == 6
+    assert r["distinct_ws_tokens"] == 4
+    assert r["ttr_bp"] == 10000
+
+
+def test_fingerprint_matches_python(spark):
+    text = "abcdefghijklmnopqrstuvwxyz0123456789"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = ts.fingerprint_table(df).collect()[0]["fingerprint"]
+    hs = []
+    for i in range(0, len(text) - ts.SHINGLE_LEN + 1, ts.SHINGLE_STRIDE):
+        sh = text[i:i + ts.SHINGLE_LEN]
+        hs.append(int(hashlib.md5(sh.encode()).hexdigest()[:15], 16) % MERSENNE_31)
+    assert got == min(hs)
+
+
+def test_keyword_search(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha keys", "nothing"), (1, "beta", "has key inside"),
+         (2, "gamma", "none")],
+        "doc_id long, title string, abstract string")
+    got = {r["doc_id"] for r in
+           ts.keyword_search(df, "key", ("title", "abstract")).collect()}
+    assert got == {0, 1}
