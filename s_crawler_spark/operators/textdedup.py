@@ -220,20 +220,25 @@ def simhash_table(docs: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Pairs within hamming distance: bucket by simhash value (exact-match
-    buckets for distance 0, plus the standard rotate-and-bucket trick via the
-    two 8-bit halves for distance <= max_hamming with <= bits/2 per half)."""
+    """All pairs within hamming distance ``max_hamming`` (<= 2).
+
+    Pigeonhole banding: <= 2 differing bits over THREE disjoint bit pieces
+    means at least one piece matches exactly (two halves would miss the 1+1
+    split), so exact-match bucket joins on each 6/5/5-bit piece generate a
+    complete candidate set; bit_count on the xor verifies. Three key-hash
+    shuffles, no all-pairs stage."""
     t = simhash_table(docs, text_col, id_col)
-    hi = (F.col("simhash") / 256).cast("long")
-    lo = F.col("simhash") % 256
-    keyed = t.select(id_col, "simhash", hi.alias("hi"), lo.alias("lo"))
-    # pigeonhole: hamming <= 2 over 16 bits ⇒ one 8-bit half is <= 1 bit off;
-    # candidate join on either half matching exactly covers hamming <= 1 per
-    # half; verify with bit_count on the xor.
+    pieces = {
+        "p0": F.col("simhash") % 64,                        # bits 0-5
+        "p1": (F.col("simhash") / 64).cast("long") % 32,    # bits 6-10
+        "p2": (F.col("simhash") / 2048).cast("long"),       # bits 11-15
+    }
+    keyed = t.select(id_col, "simhash",
+                     *[v.alias(k) for k, v in pieces.items()])
     cands = None
-    for half in ("hi", "lo"):
+    for piece in pieces:
         c = (keyed.alias("x").join(keyed.alias("y"),
-                                   (F.col(f"x.{half}") == F.col(f"y.{half}"))
+                                   (F.col(f"x.{piece}") == F.col(f"y.{piece}"))
                                    & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
              .select(F.col(f"x.{id_col}").alias("a_id"),
                      F.col(f"y.{id_col}").alias("b_id"),

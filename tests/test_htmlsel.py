@@ -69,3 +69,44 @@ def test_missing_selector_returns_none():
     root = hs.parse_html(HTML)
     assert hs.find_element(root, ".nope") is None
     assert hs.find_elements(root, ".nope") == []
+
+
+# ---------------------------------------------------------------------------
+# fast-tokenizer ↔ stdlib-HTMLParser equivalence (the fast path must build
+# the identical tree on every page shape the engine can meet)
+# ---------------------------------------------------------------------------
+
+def _tree_sig(el):
+    return (el.tag, sorted(el.attrs.items()),
+            "".join(el._texts), [_tree_sig(c) for c in el.children])
+
+
+def test_fast_parser_equals_stdlib_on_corpus(pages_dict):
+    from s_crawler_spark.functions.htmlsel import parse_html, parse_html_stdlib
+    checked = 0
+    for url, html in pages_dict.items():
+        if html[:4] == b"%PDF":
+            continue
+        assert _tree_sig(parse_html(html)) == _tree_sig(parse_html_stdlib(html)), url
+        checked += 1
+    assert checked > 100
+
+
+def test_fast_parser_edge_cases():
+    from s_crawler_spark.functions.htmlsel import parse_html, parse_html_stdlib
+    cases = [
+        "<div class='a' data-x=bare disabled>t &amp; u</div>",
+        '<p>one<br>two<img src="x"/>three</p>',
+        "<!-- comment --><div>after</div>",
+        "<!DOCTYPE html><html><body>x</body></html>",
+        "<div><span>unclosed</div>",
+        "<ul><li>a<li>b</ul>",
+        "<a href='x?a=1&amp;b=2'>q</a>",
+        "<script>if (a < b) { x(); }</script><div>after</div>",
+        "<style>.a > .b { color: red }</style><p>t</p>",
+        "<div>stray < lone</div>",
+        "<DIV CLASS='Upper'>case</DIV>",
+        "<div a='1' a='2'>dup</div>",
+    ]
+    for html in cases:
+        assert _tree_sig(parse_html(html)) == _tree_sig(parse_html_stdlib(html)), html

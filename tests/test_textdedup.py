@@ -72,6 +72,21 @@ def test_simhash_near_pairs_buckets(docs):
     assert pairs[(3, 4)] == 0
 
 
+def test_simhash_near_pairs_complete_vs_brute_force(spark):
+    """Banding must find EVERY pair at hamming <= 2 — including 1+1 splits
+    across bit pieces (the case a two-half scheme misses)."""
+    from s_crawler_spark.operators.textdedup import simhash_table
+    rows = [(i, f"w{i} common tokens shared across documents {i % 3}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    expect = {(a, b) for a in sh for b in sh if a < b
+              and bin(sh[a] ^ sh[b]).count("1") <= 2}
+    got = {(r["a_id"], r["b_id"])
+           for r in td.simhash_near_pairs(df, max_hamming=2).collect()}
+    assert got == expect
+
+
 def test_embedding_near_dup(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
