@@ -395,6 +395,135 @@ WHERE len(list_intersect(a.toks, b.toks)) * 2 >= len(a.toks) + len(b.toks) - len
 """
 
 
+def q_artifact_stats(spark, sf_dir):
+    """S13/A2: artifact-store rollup — downloaded payload count + byte totals
+    (reference get_download_stats, src/download_manager.py:65-81)."""
+    pages = _pages(spark, sf_dir)
+    return (pages.filter(F.col("url").endswith("?download=true"))
+            .agg(F.count("*").alias("n_files"),
+                 F.sum(F.length("html")).alias("total_bytes"),
+                 F.expr("sum(length(html)) div count(*)").alias("avg_bytes")))
+
+
+SQL_ARTIFACT_STATS = f"""
+WITH {D_CTE},
+p AS (SELECT length('%PDF-1.4' || chr(10) || 'scrawl ' || doi || ' ')
+             + (doc_id % 1500) AS n FROM d)
+SELECT count(*) AS n_files, sum(n)::BIGINT AS total_bytes,
+       sum(n)::BIGINT // count(*) AS avg_bytes FROM p
+"""
+
+
+def _seen_dedup(spark, sf_dir, kind):
+    from ..operators import seen as sn
+    der = _derived(_docs(spark, sf_dir))
+    urls = der.select("doc_id", "url",
+                      scalars.canonical_url_hash(F.col("url")).alias("url_hash"))
+    seen = urls.filter(F.col("doc_id") < 300).select("url_hash")
+    shards = sn.build_shards(seen, n_shards=4, kind=kind)
+    fresh = sn.dedup_against_seen(urls, seen, shards)
+    return fresh.select("doc_id", "url")
+
+
+SQL_SEEN_DEDUP = (f"WITH {D_CTE} SELECT doc_id, url FROM d WHERE doc_id >= 300")
+
+
+def q_seen_dedup_bloom(spark, sf_dir):
+    """P6/J1 at scale: partitioned Bloom-shard probe + exact anti-join
+    backstop — result is exactly candidates ∖ seen (false positives cannot
+    drop a URL; the SQL oracle is the exact set difference)."""
+    return _seen_dedup(spark, sf_dir, "bloom")
+
+
+def q_seen_dedup_cuckoo(spark, sf_dir):
+    """Same dedup via cuckoo-filter shards (deletable-filter variant)."""
+    return _seen_dedup(spark, sf_dir, "cuckoo")
+
+
+def q_robots_filter(spark, sf_dir):
+    """North-rule robots rules as data: disallow prefix table, JVM-side
+    path-prefix predicate (operators/politeness.robots_allowed)."""
+    der = _derived(_docs(spark, sf_dir))
+    urls = der.select("doc_id", F.col("url")).unionByName(
+        der.select("doc_id", F.col("download_link").alias("url")))
+    return urls.withColumn(
+        "allowed",
+        po.robots_allowed(F.col("url"),
+                          F.array(F.lit("/doi/pdf"), F.lit("/admin"))))
+
+
+SQL_ROBOTS_FILTER = f"""
+WITH {D_CTE},
+u AS (SELECT doc_id, url FROM d UNION ALL SELECT doc_id, download_link AS url FROM d)
+SELECT doc_id, url,
+       NOT (strpos(replace(url, 'https://', ''), '/') > 0
+            AND (substr(url, strpos(replace(url, 'https://', ''), '/') + 8) LIKE '/doi/pdf%'
+                 OR substr(url, strpos(replace(url, 'https://', ''), '/') + 8) LIKE '/admin%')) AS allowed
+FROM u
+"""
+
+
+def q_page_health(spark, sf_dir):
+    """P12/P13: page-readiness + captcha/abnormal predicates over fetched
+    detail pages (boolean pandas UDFs over html)."""
+    from ..operators import extract as ex
+    pages = _pages(spark, sf_dir)
+    detail = pages.filter(F.col("url").rlike("/doi/10\\."))
+    return detail.select(
+        "url",
+        ex.is_page_normal_udf(F.col("html")).alias("is_normal"),
+        ex.is_page_abnormal_udf(F.col("html")).alias("is_abnormal"))
+
+
+# detail-page body text concatenates title+abstract(+'PDF' for the pv=3
+# variant) with no separators (single text node per leaf, corpus.py)
+SQL_PAGE_HEALTH = f"""
+WITH {D_CTE},
+b AS (SELECT url, doc_id,
+             title || abstract || (CASE WHEN doc_id % 4 = 3 THEN 'PDF' ELSE '' END) AS body
+      FROM d)
+SELECT url,
+       (doc_id % 4 <> 3) OR length(body) > 100 AS is_normal,
+       (lower(body) LIKE '%captcha%' OR lower(body) LIKE '%cloudflare%'
+        OR lower(body) LIKE '%verify%' OR lower(body) LIKE '%robot%'
+        OR lower(body) LIKE '%unusual traffic%' OR lower(body) LIKE '%access denied%'
+        OR lower(body) LIKE '%blocked%') AS is_abnormal
+FROM b
+"""
+
+
+def q_scalar_suite2(spark, sf_dir):
+    """F4/F7/P14 + error truncation: doi.org href split, cookie-string map,
+    pdf-url predicate, last_error[:1000]."""
+    der = _derived(_docs(spark, sf_dir))
+    cookie = F.concat(F.lit("sid="), F.col("doc_id").cast("string"),
+                      F.lit("; theme=dark"))
+    cmap = scalars.cookie_str_to_map(cookie)
+    err = F.expr("repeat('e', cast(doc_id % 1200 as int) + 50)")
+    return der.select(
+        "doc_id",
+        scalars.doi_from_doiorg_href(
+            F.concat(F.lit("https://doi.org/"), F.col("doi"))).alias("doi_from_href"),
+        F.element_at(cmap, "sid").alias("cookie_sid"),
+        F.element_at(cmap, "theme").alias("cookie_theme"),
+        scalars.is_valid_pdf_url(F.col("download_link")).alias("dl_is_pdf"),
+        scalars.is_valid_pdf_url(F.col("url")).alias("detail_is_pdf"),
+        F.length(scalars.truncate_error(err)).alias("err_len"))
+
+
+SQL_SCALAR_SUITE2 = f"""
+WITH {D_CTE}
+SELECT doc_id,
+       doi AS doi_from_href,
+       doc_id::VARCHAR AS cookie_sid,
+       'dark' AS cookie_theme,
+       TRUE AS dl_is_pdf,
+       FALSE AS detail_is_pdf,
+       least(doc_id % 1200 + 50, 1000) AS err_len
+FROM d
+"""
+
+
 # ==========================================================================
 # Training-data pipeline queries (documents / embeddings tables)
 # ==========================================================================
@@ -722,6 +851,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_hashes": q_content_hashes,
     "keyword_search": q_keyword_search,
     "title_jaccard": q_title_jaccard,
+    "artifact_stats": q_artifact_stats,
+    "seen_dedup_bloom": q_seen_dedup_bloom,
+    "seen_dedup_cuckoo": q_seen_dedup_cuckoo,
+    "robots_filter": q_robots_filter,
+    "page_health": q_page_health,
+    "scalar_suite2": q_scalar_suite2,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -759,6 +894,12 @@ def build_oracles() -> dict[str, str]:
         "content_hashes": SQL_CONTENT_HASHES,
         "keyword_search": SQL_KEYWORD_SEARCH,
         "title_jaccard": SQL_TITLE_JACCARD,
+        "artifact_stats": SQL_ARTIFACT_STATS,
+        "seen_dedup_bloom": SQL_SEEN_DEDUP,
+        "seen_dedup_cuckoo": SQL_SEEN_DEDUP,
+        "robots_filter": SQL_ROBOTS_FILTER,
+        "page_health": SQL_PAGE_HEALTH,
+        "scalar_suite2": SQL_SCALAR_SUITE2,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "dedup_minhash_lsh": _sql_minhash(),

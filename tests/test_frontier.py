@@ -105,3 +105,26 @@ def test_salt_partitions_spreads_hot_host(spark):
     n_salts = salted.filter(F.col("host") == "h0.org") \
         .select("salt").distinct().count()
     assert n_salts > 1  # one host's rows do not collapse into one bucket
+
+
+# ---------------------------------------------------------------------------
+# export sinks (S11 JSON / S12 CSV)
+# ---------------------------------------------------------------------------
+
+def test_export_sinks(spark, pages, tmp_path):
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.plans.wave import run_wave
+    from s_crawler_spark.sources import export as ex
+
+    cat = run_wave(pages, seed_search_url(), max_count=30)
+    ex.export_json(cat, str(tmp_path / "j"), single_file=True)
+    back = spark.read.json(str(tmp_path / "j"))
+    assert back.count() == cat.count()
+    assert set(back.columns) >= {"doi", "title", "url"}
+
+    ex.export_csv(cat, str(tmp_path / "c"), single_file=True)
+    csv = spark.read.option("header", True).csv(str(tmp_path / "c"))
+    assert csv.columns == ex.CSV_COLUMNS
+    assert csv.count() == cat.count()
+    dois = {r["doi"] for r in csv.select("doi").collect()}
+    assert dois == {r["doi"] for r in cat.select("doi").collect()}
