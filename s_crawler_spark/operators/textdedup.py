@@ -163,7 +163,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     mass; AQE skew-split handles the join, and the verification filter caps
     output. No all-pairs stage anywhere.
     """
-    bands = minhash_bands(docs, text_col, id_col)
+    # materialize: both sides of the bucket self-join, and both verify
+    # joins, would otherwise recompute the signature/token arrays
+    bands = minhash_bands(docs, text_col, id_col).localCheckpoint(eager=False)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"),
@@ -174,7 +176,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .distinct()
     )
     base = docs.select(F.col(id_col).alias("id"),
-                       F.array_distinct(words(F.col(text_col))).alias("toks"))
+                       F.array_distinct(words(F.col(text_col))).alias("toks")) \
+        .localCheckpoint(eager=False)
     inter, union = jaccard_counts(F.col("a_toks"), F.col("b_toks"))
     return (
         cand
