@@ -171,3 +171,55 @@ def keyword_search(docs: DataFrame, keyword: str,
         p = F.col(c).contains(keyword)
         pred = p if pred is None else (pred | p)
     return docs.filter(pred)
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_table(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                chunk_tokens: int = CHUNK_TOKENS,
+                stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Training-data chunking: overlapping token windows per document
+    (chunk_tokens window, stride overlap), one row per chunk with its token
+    span. Pure column expressions — sequence + slice + posexplode, fully
+    vectorized; at 100 TB this is the map-side-only operator that feeds
+    tokenization, so it must not shuffle (and doesn't)."""
+    w = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size(w) - (chunk_tokens - stride)),
+        F.lit(stride))
+    chunks = F.transform(starts, lambda i: F.struct(
+        i.alias("start"),
+        F.concat_ws(" ", F.slice(w, i, chunk_tokens)).alias("chunk")))
+    return (docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+            .select(id_col, "chunk_idx",
+                    (F.col("c.start") - 1).alias("token_start"),
+                    F.col("c.chunk").alias("chunk_text")))
+
+
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[\-.]\d{3}[\-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{13,19}\b", "<CARDNUM>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """PII scrubbing for training corpora: email / phone / long-digit-run
+    masking via chained JVM-side regexp_replace (order fixed: email first so
+    digit runs inside addresses are consumed as emails)."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_table(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    scrubbed = scrub_pii(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("clean_text"),
+        (scrubbed != F.col(text_col)).alias("was_scrubbed"))

@@ -701,6 +701,51 @@ def _sql_fingerprint() -> str:
             f"i -> {h})) AS fingerprint FROM documents")
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Training-data chunking: overlapping 32-token windows at stride 24,
+    one row per chunk (map-side only — no shuffle)."""
+    return ts.chunk_table(_docs(spark, sf_dir))
+
+
+SQL_DOC_CHUNKS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+s AS (SELECT doc_id, words, unnest(generate_series(
+        1, greatest(1, len(words) - {ts.CHUNK_TOKENS - ts.CHUNK_STRIDE}),
+        {ts.CHUNK_STRIDE})) AS st FROM w)
+SELECT doc_id, (st - 1) // {ts.CHUNK_STRIDE} AS chunk_idx, st - 1 AS token_start,
+       array_to_string(words[st:st + {ts.CHUNK_TOKENS - 1}], ' ') AS chunk_text
+FROM s
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing for training corpora: mask emails / phone numbers /
+    long digit runs (chained JVM regexp_replace; input decorated with
+    synthetic PII so every pattern is exercised)."""
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-123-4567 card 4111111111111111"))
+    return docs.select(
+        "doc_id",
+        ts.scrub_pii(dirty).alias("clean_text"),
+        (ts.scrub_pii(dirty) != dirty).alias("was_scrubbed"))
+
+
+SQL_PII_SCRUB = """
+WITH d AS (SELECT doc_id,
+  text || ' contact user' || doc_id || '@mail.example.com or 555-123-4567 card 4111111111111111' AS dirty
+  FROM documents),
+s AS (SELECT doc_id, dirty,
+  regexp_replace(regexp_replace(regexp_replace(dirty,
+    '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{3}[\\-.]\\d{3}[\\-.]\\d{4}\\b', '<PHONE>', 'g'),
+    '\\b\\d{13,19}\\b', '<CARDNUM>', 'g') AS clean_text
+  FROM d)
+SELECT doc_id, clean_text, clean_text <> dirty AS was_scrubbed FROM s
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     """array<float> plumbing: dimension + L2 norm per vector (zip_with /
     aggregate higher-order functions, JVM-side)."""
@@ -865,6 +910,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "token_stats": q_token_stats,
     "doc_fingerprint": q_fingerprint,
+    "doc_chunks": q_doc_chunks,
+    "pii_scrub": q_pii_scrub,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
@@ -908,6 +955,8 @@ def build_oracles() -> dict[str, str]:
         "text_quality": _sql_text_quality(),
         "token_stats": SQL_TOKEN_STATS,
         "doc_fingerprint": _sql_fingerprint(),
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "pii_scrub": SQL_PII_SCRUB,
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

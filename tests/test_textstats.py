@@ -79,3 +79,30 @@ def test_keyword_search(spark):
     got = {r["doc_id"] for r in
            ts.keyword_search(df, "key", ("title", "abstract")).collect()}
     assert got == {0, 1}
+
+
+def test_chunk_table_spans(spark):
+    text = " ".join(f"w{i}" for i in range(80))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = sorted(ts.chunk_table(df).collect(), key=lambda r: r["chunk_idx"])
+    # 80 tokens, window 32, stride 24 → window starts 0, 24, 48
+    assert [r["token_start"] for r in rows] == [0, 24, 48]
+    assert rows[0]["chunk_text"].split(" ") == [f"w{i}" for i in range(32)]
+    assert rows[2]["chunk_text"].split(" ") == [f"w{i}" for i in range(48, 80)]
+    # overlap: each consecutive pair shares chunk_tokens - stride = 8 tokens
+    a = rows[0]["chunk_text"].split(" ")
+    b = rows[1]["chunk_text"].split(" ")
+    assert a[-8:] == b[:8]
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [(0, "mail me at a.b+c@x-site.co.uk or 555-123-4567 acct 4111111111111111 ok 123")],
+        "doc_id long, text string")
+    r = ts.scrub_table(df).collect()[0]
+    assert r["clean_text"] == "mail me at <EMAIL> or <PHONE> acct <CARDNUM> ok 123"
+    assert r["was_scrubbed"]
+    clean = spark.createDataFrame([(1, "no pii here just words")],
+                                  "doc_id long, text string")
+    r2 = ts.scrub_table(clean).collect()[0]
+    assert not r2["was_scrubbed"] and r2["clean_text"] == "no pii here just words"
