@@ -138,3 +138,39 @@ def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
         F.size(F.col(vec_col)).alias("dim"),
         F.round(l2_norm(F.col(vec_col)), 4).alias("l2_norm"),
     )
+
+
+def lsh_near_dup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
+                       n_planes: int = 4, n_tables: int = 6,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs, scale path: multi-table LSH bucket
+    self-join generates candidates (no all-pairs stage), exact cosine
+    verifies. Approximate — recall vs the brute-force operator
+    (textdedup.embedding_near_dup_pairs) is pytest-gated; every emitted
+    pair is exact (verified), only misses are possible.
+
+    At 10^10 vectors each table's bucket id is a partition/bucket column of
+    the stored corpus, so the per-table self-join is co-located."""
+    from .textdedup import cosine
+
+    keyed = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        *[lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias(f"b{t}")
+          for t in range(n_tables)]).localCheckpoint(eager=False)
+    cand = None
+    for t in range(n_tables):
+        c = (keyed.alias("x").join(
+                keyed.alias("y"),
+                (F.col(f"x.b{t}") == F.col(f"y.b{t}"))
+                & (F.col("x.id") < F.col("y.id")))
+             .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id")))
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    side = keyed.select("id", "v")
+    return (cand
+            .join(side.select(F.col("id").alias("a_id"), F.col("v").alias("a_v")), "a_id")
+            .join(side.select(F.col("id").alias("b_id"), F.col("v").alias("b_v")), "b_id")
+            .withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
+            .filter(F.col("cos") >= threshold)
+            .select("a_id", "b_id", F.round("cos", 4).alias("cos_sim")))

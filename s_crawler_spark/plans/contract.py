@@ -851,6 +851,13 @@ def q_ann_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(emb, queries, k=5, dim=64)
 
 
+def q_ann_lsh_near_dup(spark, sf_dir):
+    """Embedding near-dup at scale: multi-table LSH bucket self-join +
+    exact verify (no all-pairs stage; emitted pairs exact, recall
+    pytest-gated)."""
+    return sim.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash hamming-≤2 candidate pairs via half-signature bucketing."""
     return td.simhash_near_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
@@ -919,6 +926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     # rows-only (no SQL-expressible oracle)
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_near_dup": q_ann_lsh_near_dup,
     "simhash_near_pairs": q_simhash_near_pairs,
     "media_frames": q_media_frames,
     "multiwave_crawl": q_multiwave_crawl,

@@ -102,3 +102,15 @@ def test_frame_sampling(media):
     assert set(per_doc) == set(vids)
     for d, n in per_doc.items():
         assert n == 1 + vids[d] % 5
+
+
+def test_lsh_near_dup_subset_and_recall(spark, emb):
+    from s_crawler_spark.operators import textdedup as td
+    exact = {(r["a_id"], r["b_id"])
+             for r in td.embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    approx = {(r["a_id"], r["b_id"])
+              for r in sim.lsh_near_dup_pairs(emb, threshold=0.4).collect()}
+    assert approx <= exact          # every emitted pair is a true near-dup
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.5, f"near-dup LSH recall {recall:.2f}"
