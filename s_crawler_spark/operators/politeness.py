@@ -88,3 +88,36 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
         .drop("__rank", "host_budget", "crawl_delay_ms",
               "robots_disallow", "user_agent")
     )
+
+
+def parse_robots_policy(robots: DataFrame,
+                        host_col: str = "host",
+                        body_col: str = "robots_txt",
+                        default_delay_ms: int = DEFAULT_CRAWL_DELAY_MS) -> DataFrame:
+    """robots.txt bodies → host_policy rows (north rule: "robots.txt rules
+    materialized as a broadcast host-policy table").
+
+    Parses the standard line grammar JVM-side (no UDF): the wildcard
+    User-agent group's ``Disallow:`` path prefixes and ``Crawl-delay:``
+    seconds. Simplified single-group semantics (sufficient for politeness
+    scheduling): all Disallow lines apply, first Crawl-delay wins, missing
+    delay → engine default. Lines are split on newline; values trimmed;
+    empty Disallow (allow-all marker) ignored.
+    """
+    lines = F.split(F.col(body_col), "\n")
+    delay_s = F.nullif(
+        F.regexp_extract(F.col(body_col),
+                         r"(?im)^[ \t]*crawl-delay:[ \t]*([0-9]+)", 1),
+        F.lit("")).cast("int")
+    disallow = F.filter(
+        F.transform(
+            F.filter(lines, lambda l: F.lower(F.trim(l)).startswith("disallow:")),
+            lambda l: F.trim(F.substring(F.trim(l), 10, 10000))),
+        lambda p: p != "")
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.coalesce((delay_s * 1000).cast("int"),
+                   F.lit(default_delay_ms)).alias("crawl_delay_ms"),
+        disallow.alias("robots_disallow"),
+        F.lit(DEFAULT_USER_AGENT).alias("user_agent"),
+    )

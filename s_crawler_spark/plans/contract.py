@@ -463,6 +463,34 @@ FROM u
 """
 
 
+def q_robots_policy(spark, sf_dir):
+    """North rule: robots.txt rules materialized as a host-policy table —
+    parse synthetic robots bodies (Crawl-delay + Disallow groups) into
+    (host, crawl_delay_ms, disallow prefixes), all JVM-side."""
+    docs = _docs(spark, sf_dir)
+    body = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "),
+        (F.col("doc_id") % 30 + 1).cast("string"),
+        F.lit("\nDisallow: /doi/pdf\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Disallow: /admin\n"))
+        .otherwise(F.lit("")))
+    robots = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".com")).alias("host"),
+        body.alias("robots_txt"))
+    pol = po.parse_robots_policy(robots)
+    return pol.select(
+        "host", "crawl_delay_ms",
+        F.array_join("robots_disallow", ",").alias("disallow_csv"))
+
+
+SQL_ROBOTS_POLICY = """
+SELECT 'h' || doc_id || '.com' AS host,
+       ((doc_id % 30 + 1) * 1000)::INT AS crawl_delay_ms,
+       '/doi/pdf' || (CASE WHEN doc_id % 3 = 0 THEN ',/admin' ELSE '' END) AS disallow_csv
+FROM documents
+"""
+
+
 def q_page_health(spark, sf_dir):
     """P12/P13: page-readiness + captcha/abnormal predicates over fetched
     detail pages (boolean pandas UDFs over html)."""
@@ -907,6 +935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seen_dedup_bloom": q_seen_dedup_bloom,
     "seen_dedup_cuckoo": q_seen_dedup_cuckoo,
     "robots_filter": q_robots_filter,
+    "robots_policy": q_robots_policy,
     "page_health": q_page_health,
     "scalar_suite2": q_scalar_suite2,
     "dedup_exact": q_dedup_exact,
@@ -953,6 +982,7 @@ def build_oracles() -> dict[str, str]:
         "seen_dedup_bloom": SQL_SEEN_DEDUP,
         "seen_dedup_cuckoo": SQL_SEEN_DEDUP,
         "robots_filter": SQL_ROBOTS_FILTER,
+        "robots_policy": SQL_ROBOTS_POLICY,
         "page_health": SQL_PAGE_HEALTH,
         "scalar_suite2": SQL_SCALAR_SUITE2,
         "dedup_exact": SQL_DEDUP_EXACT,

@@ -128,3 +128,21 @@ def test_export_sinks(spark, pages, tmp_path):
     assert csv.count() == cat.count()
     dois = {r["doi"] for r in csv.select("doi").collect()}
     assert dois == {r["doi"] for r in cat.select("doi").collect()}
+
+
+def test_parse_robots_policy(spark):
+    from s_crawler_spark.operators import politeness as po
+    rows = [
+        ("a.com", "User-agent: *\nCrawl-delay: 7\nDisallow: /private\nDisallow: /tmp\nDisallow:\n"),
+        ("b.com", "User-agent: *\nDisallow: /x\n"),   # no delay -> default
+        ("c.com", ""),                                 # empty -> allow-all
+        ("d.com", "  crawl-DELAY:  12 \n  DISALLOW:   /y  \n"),  # case/space
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    got = {r["host"]: r for r in po.parse_robots_policy(df).collect()}
+    assert got["a.com"]["crawl_delay_ms"] == 7000
+    assert list(got["a.com"]["robots_disallow"]) == ["/private", "/tmp"]
+    assert got["b.com"]["crawl_delay_ms"] == po.DEFAULT_CRAWL_DELAY_MS
+    assert list(got["c.com"]["robots_disallow"]) == []
+    assert got["d.com"]["crawl_delay_ms"] == 12000
+    assert list(got["d.com"]["robots_disallow"]) == ["/y"]
