@@ -137,8 +137,7 @@ _FAST_TAG_RE = re.compile(
       | (?P<decl>[!?][^>]*)>
       | (?P<end>/)\s*(?P<endtag>[a-zA-Z][a-zA-Z0-9-]*)[^>]*>
       | (?P<tag>[a-zA-Z][a-zA-Z0-9-]*)
-        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)
-        (?P<selfclose>/?)>
+        (?P<attrs>(?:"[^"]*"|'[^']*'|[^>"'])*)>
     )""",
     re.VERBOSE | re.DOTALL,
 )
@@ -156,22 +155,29 @@ from html import unescape as _unescape
 
 
 def _parse_attrs(s):
+    """attrs dict + self-close flag. The attrs capture consumes any '/'
+    before '>', so self-closing is decided here: a trailing '/' NOT consumed
+    by an attribute match marks the tag self-closing (stdlib semantics — '/'
+    may appear inside an unquoted attr *value* like href=http://x/, but
+    never in an attribute name)."""
     if not s or s.isspace():
-        return {}
+        return {}, s.endswith("/") if s else False
     out = {}
+    last_end = 0
     for m in _FAST_ATTR_RE.finditer(s):
+        last_end = m.end()
         name = m.group(1).lower()
         val = m.group(2)
         if val is None:
             val = m.group(3)
         if val is None:
             val = m.group(4)
-        if val is None:
-            val = None if m.group(0) == name else ""
+        # groups 2-4 all absent ⇔ no '=': bare attribute stays None,
+        # matching HTMLParser (regardless of the attribute's case)
         if val is not None and "&" in val:
             val = _unescape(val)
         out[name] = val
-    return out
+    return out, s.endswith("/") and last_end < len(s)
 
 
 def parse_html(html):
@@ -215,9 +221,10 @@ def parse_html(html):
                     break
             continue
         tag = m.group("tag").lower()
-        el = Element(tag, _parse_attrs(m.group("attrs")), stack[-1])
+        attrs, selfclose = _parse_attrs(m.group("attrs"))
+        el = Element(tag, attrs, stack[-1])
         stack[-1].children.append(el)
-        if m.group("selfclose") or tag in _VOID_TAGS:
+        if selfclose or tag in _VOID_TAGS:
             continue
         raw = _RAWTEXT_CLOSE.get(tag)
         if raw is not None:

@@ -207,9 +207,14 @@ def probe_shards(candidates: DataFrame, shards: DataFrame,
                  flag_col: str = "maybe_seen") -> DataFrame:
     """Co-partitioned filter probe: candidates gain a ``maybe_seen`` flag.
 
-    The join key is the shard id, so each task sees exactly one blob +
-    its candidate slice (shard-local, uniform by hash). A left join keeps
-    candidates whose shard has no filter yet (definitively unseen).
+    COGROUP on shard_id, never a row join: a join would materialize the
+    ~160 MB filter blob onto every candidate row and then shuffle it per
+    row (petabyte-scale duplicated exchange bytes at a 10^7-URL wave).
+    Cogrouping shuffles the candidate keys and the blobs *separately* —
+    each blob crosses the wire exactly once per shard. Candidates whose
+    shard has no filter yet get an empty shard group (definitively unseen).
+    The explain_audit invariant pins this: no Exchange carries ``bits``
+    alongside candidate columns.
     """
     if n_shards is None:
         mx = shards.agg(F.max("shard_id")).collect()[0][0]
@@ -219,27 +224,27 @@ def probe_shards(candidates: DataFrame, shards: DataFrame,
 
     with_shard = candidates.withColumn(
         "shard_id", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
-    joined = with_shard.join(shards, on="shard_id", how="left")
 
     out_schema = T.StructType(
         candidates.schema.fields + [T.StructField(flag_col, T.BooleanType())])
     cand_cols = list(candidates.columns)  # plain list — closure must not
     # capture the DataFrame itself (SparkContext is driver-only)
 
-    def probe_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
-        bits = pdf["bits"].iloc[0] if len(pdf) else None
-        if bits is None or (len(pdf) and pdf["bits"].isna().iloc[0]):
-            hit = np.zeros(len(pdf), dtype=bool)
-        elif pdf["kind"].iloc[0] == "cuckoo":
-            hit = cuckoo_probe(bits, keys)
+    def probe_group(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = cand_pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        if len(shard_pdf) == 0:
+            hit = np.zeros(len(cand_pdf), dtype=bool)
+        elif shard_pdf["kind"].iloc[0] == "cuckoo":
+            hit = cuckoo_probe(shard_pdf["bits"].iloc[0], keys)
         else:
-            hit = bloom_probe(bits, keys)
-        out = pdf[cand_cols].copy()
+            hit = bloom_probe(shard_pdf["bits"].iloc[0], keys)
+        out = cand_pdf[cand_cols].copy()
         out[flag_col] = hit
         return out
 
-    return joined.groupBy("shard_id").applyInPandas(probe_group, schema=out_schema)
+    return (with_shard.groupBy("shard_id")
+            .cogroup(shards.groupBy("shard_id"))
+            .applyInPandas(probe_group, schema=out_schema))
 
 
 def dedup_against_seen(candidates: DataFrame, seen: DataFrame,

@@ -465,14 +465,19 @@ FROM u
 
 def q_robots_policy(spark, sf_dir):
     """North rule: robots.txt rules materialized as a host-policy table —
-    parse synthetic robots bodies (Crawl-delay + Disallow groups) into
-    (host, crawl_delay_ms, disallow prefixes), all JVM-side."""
+    parse synthetic CRLF robots bodies (multi-group: a UA-specific group
+    overrides the ``*`` group on every fifth host) into (host,
+    crawl_delay_ms, disallow/allow prefixes), all JVM-side."""
     docs = _docs(spark, sf_dir)
     body = F.concat(
-        F.lit("User-agent: *\nCrawl-delay: "),
+        F.lit("User-agent: *\r\nCrawl-delay: "),
         (F.col("doc_id") % 30 + 1).cast("string"),
-        F.lit("\nDisallow: /doi/pdf\n"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit("Disallow: /admin\n"))
+        F.lit("\r\nDisallow: /doi/pdf\r\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("Disallow: /admin\r\n"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(
+            "\r\nUser-agent: s-crawler-spark\r\nCrawl-delay: 2\r\n"
+            "Allow: /doi/pdf/open\r\nDisallow: /private\r\n"))
         .otherwise(F.lit("")))
     robots = docs.select(
         F.concat(F.lit("h"), F.col("doc_id").cast("string"), F.lit(".com")).alias("host"),
@@ -480,13 +485,16 @@ def q_robots_policy(spark, sf_dir):
     pol = po.parse_robots_policy(robots)
     return pol.select(
         "host", "crawl_delay_ms",
-        F.array_join("robots_disallow", ",").alias("disallow_csv"))
+        F.array_join("robots_disallow", ",").alias("disallow_csv"),
+        F.array_join("robots_allow", ",").alias("allow_csv"))
 
 
 SQL_ROBOTS_POLICY = """
 SELECT 'h' || doc_id || '.com' AS host,
-       ((doc_id % 30 + 1) * 1000)::INT AS crawl_delay_ms,
-       '/doi/pdf' || (CASE WHEN doc_id % 3 = 0 THEN ',/admin' ELSE '' END) AS disallow_csv
+       (CASE WHEN doc_id % 5 = 0 THEN 2000 ELSE (doc_id % 30 + 1) * 1000 END)::INT AS crawl_delay_ms,
+       CASE WHEN doc_id % 5 = 0 THEN '/private'
+            ELSE '/doi/pdf' || (CASE WHEN doc_id % 3 = 0 THEN ',/admin' ELSE '' END) END AS disallow_csv,
+       CASE WHEN doc_id % 5 = 0 THEN '/doi/pdf/open' ELSE '' END AS allow_csv
 FROM documents
 """
 

@@ -256,7 +256,11 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # --- fetch + parse (re-hydrate card metadata, J2) ---
         batch_meta = batch.select("url", "seq").join(
             cand_store.dropDuplicates(["url"]), on="url", how="left")
-        fetched = fetch_parse(pages, batch_meta).cache()
+        # lazy localCheckpoint, not .cache(): cache is logical-plan-keyed and
+        # aliases across invocations (CLAUDE.md invariant); fetch_parse
+        # already checkpoints its result, this re-checkpoint bounds the
+        # lineage of the batch_meta join for the multi-consumer stages below
+        fetched = fetch_parse(pages, batch_meta).localCheckpoint(eager=False)
 
         ok = fetched.filter(F.col("downloaded")).select(*ARTICLE_COLS)
         new_articles = dd.tiered_insert_dedup(ok, seq_col="seq", catalog=catalog)
@@ -287,7 +291,6 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         metrics = frontier_df.groupBy("status").count() \
             .withColumn("wave", F.lit(wave))
         store.commit(metrics, "fetch_log", wave)
-        fetched.unpersist()
 
         frontier_df = store.read(spark, "frontier")
         catalog = store.read(spark, "articles")

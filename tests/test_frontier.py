@@ -90,8 +90,9 @@ def test_compose_wave_budget_caps_per_host(spark):
 def test_compose_wave_robots_disallow(spark):
     frontier = fr.enqueue(make_candidates(spark, 9), wave=0, logical_now=T0)
     policy = spark.createDataFrame(
-        [("h0.org", 1000, ["/doi/"], "ua"), ("h1.org", 1000, ["/other/"], "ua"),
-         ("h2.org", 1000, [], "ua")],
+        [("h0.org", 1000, ["/doi/"], [], "ua"),
+         ("h1.org", 1000, ["/other/"], [], "ua"),
+         ("h2.org", 1000, [], [], "ua")],
         po.HOST_POLICY_SCHEMA)
     batch = po.compose_wave(fr.eligible_pending(frontier, T0), policy, 3600)
     hosts = {r["host"] for r in batch.collect()}
@@ -137,6 +138,15 @@ def test_parse_robots_policy(spark):
         ("b.com", "User-agent: *\nDisallow: /x\n"),   # no delay -> default
         ("c.com", ""),                                 # empty -> allow-all
         ("d.com", "  crawl-DELAY:  12 \n  DISALLOW:   /y  \n"),  # case/space
+        # CRLF body + tab padding (real-world files are commonly CRLF)
+        ("e.com", "User-agent: *\r\nCrawl-delay:\t3\r\nDisallow:\t/private\r\n\t Disallow: /crlf\r\n"),
+        # UA-specific group overrides the * group entirely
+        ("f.com", "User-agent: *\nCrawl-delay: 30\nDisallow: /all\n\n"
+                  "User-agent: s-crawler-spark\nCrawl-delay: 2\n"
+                  "Allow: /doi/open\nDisallow: /doi\n"),
+        # adjacent UA lines share one group; comments stripped
+        ("g.com", "User-agent: otherbot\nUser-agent: *\n"
+                  "Disallow: /z # trailing comment\n# full-line comment\n"),
     ]
     df = spark.createDataFrame(rows, "host string, robots_txt string")
     got = {r["host"]: r for r in po.parse_robots_policy(df).collect()}
@@ -146,3 +156,23 @@ def test_parse_robots_policy(spark):
     assert list(got["c.com"]["robots_disallow"]) == []
     assert got["d.com"]["crawl_delay_ms"] == 12000
     assert list(got["d.com"]["robots_disallow"]) == ["/y"]
+    assert got["e.com"]["crawl_delay_ms"] == 3000
+    assert list(got["e.com"]["robots_disallow"]) == ["/private", "/crlf"]
+    assert got["f.com"]["crawl_delay_ms"] == 2000
+    assert list(got["f.com"]["robots_disallow"]) == ["/doi"]
+    assert list(got["f.com"]["robots_allow"]) == ["/doi/open"]
+    assert list(got["g.com"]["robots_disallow"]) == ["/z"]
+
+
+def test_robots_allowed_longest_prefix(spark):
+    from s_crawler_spark.operators import politeness as po
+    rows = [
+        ("https://h.com/doi/open/x.pdf", True),    # allow /doi/open beats /doi
+        ("https://h.com/doi/closed/x.pdf", False), # only /doi matches
+        ("https://h.com/other", True),             # nothing matches
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    out = df.withColumn("ok", po.robots_allowed(
+        F.col("url"), F.array(F.lit("/doi")), F.array(F.lit("/doi/open"))))
+    got = {r["url"]: r["ok"] for r in out.collect()}
+    assert got == {u: ok for u, ok in rows}

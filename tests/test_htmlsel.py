@@ -107,6 +107,16 @@ def test_fast_parser_edge_cases():
         "<div>stray < lone</div>",
         "<DIV CLASS='Upper'>case</DIV>",
         "<div a='1' a='2'>dup</div>",
+        # non-void self-closing tags: siblings must not nest inside
+        "<div><span/>after</div>",
+        "<foo/><bar>y</bar>",
+        "<div a=\"1\"/>sib",
+        "<span foo/>tail",
+        # trailing '/' inside an unquoted attr value is NOT a self-close
+        "<a href=http://x/>in</a>",
+        "<div a=1 / b=2>z</div>",
+        # uppercase bare attribute stays valueless (None, not '')
+        "<div DISABLED>x</div>",
     ]
     for html in cases:
         assert _tree_sig(parse_html(html)) == _tree_sig(parse_html_stdlib(html)), html

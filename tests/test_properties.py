@@ -96,6 +96,10 @@ def html_fragment(draw, depth=0):
     attrs = f' class="{cls}"' if cls else ""
     if tag == "a":
         attrs += f" href='{href}'"
+    if draw(st.booleans()) and draw(st.booleans()):
+        # non-void self-closing form (plus bare-attribute variant)
+        bare = draw(st.sampled_from(["", " DISABLED", " data-x"]))
+        return f"<{tag}{attrs}{bare}/>{inner}"
     return f"<{tag}{attrs}>{inner}</{tag}>"
 
 

@@ -82,8 +82,35 @@ def main() -> int:
          "html" not in re.search(r"ReadSchema: [^\n]*", p3).group(0)),
     ])
 
-    from s_crawler_spark.operators import textdedup as td
+    from s_crawler_spark.functions import scalars
+    from s_crawler_spark.operators import seen as sn
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://x.com/"), F.col("doc_id").cast("string")).alias("url"))
+    urls = urls.withColumn("url_hash", scalars.canonical_url_hash(F.col("url")))
+    shards = sn.build_shards(urls.filter(F.col("doc_id") < 100).select("url_hash"),
+                             n_shards=4)
+    p5 = plan_of(sn.probe_shards(urls, shards, n_shards=4))
+    # every Exchange that carries the filter blob must carry ONLY shard
+    # columns (blob crosses once per shard, never per candidate row)
+    bits_ok = True
+    for block in re.split(r"\n\n", p5):
+        first = block.splitlines()[0] if block.strip() else ""
+        if re.match(r"\(\d+\) Exchange", first.strip()):
+            m_in = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+            cols = {c.split("#")[0].strip() for c in m_in.group(1).split(",")} \
+                if m_in else set()
+            if "bits" in cols and not cols <= {"shard_id", "kind", "bits", "n_items"}:
+                bits_ok = False
+    all_ok &= audit("probe_shards (cogroup)", p5, [
+        ("filter blob never exchanged alongside candidate rows", bits_ok),
+        ("probe is a cogroup, not a row join",
+         "FlatMapCoGroupsInPandas" in p5 and "SortMergeJoin" not in p5),
+    ])
+
+    from s_crawler_spark.operators import textdedup as td
     p4 = plan_of(td.minhash_lsh_pairs(docs))
     all_ok &= audit("minhash_lsh_pairs", p4, [
         ("band bucket join shuffles on (band, sig) hash",
