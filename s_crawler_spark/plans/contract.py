@@ -875,12 +875,14 @@ FROM m
 
 
 # ==========================================================================
-# Rows-only queries (no SQL-expressible oracle; pytest covers semantics)
+# Formerly rows-only queries — each now has an exact oracle
 # ==========================================================================
 
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate ANN: deterministic random-hyperplane LSH buckets, exact
-    re-rank within probed buckets (recall vs brute force pytest-gated)."""
+    re-rank within probed buckets. Oracle-exact: the planes are md5-derived,
+    so the SQL oracle regenerates them from first principles and replays the
+    same probe/rank construction (recall vs brute force pytest-gated)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
@@ -890,17 +892,19 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_ann_lsh_near_dup(spark, sf_dir):
     """Embedding near-dup at scale: multi-table LSH bucket self-join +
     exact verify (no all-pairs stage; emitted pairs exact, recall
-    pytest-gated)."""
+    pytest-gated). Oracle replays the identical deterministic-plane
+    construction in SQL."""
     return sim.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash hamming-≤2 candidate pairs via half-signature bucketing."""
+    """SimHash hamming-≤2 pairs via 3-piece pigeonhole banding."""
     return td.simhash_near_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
 
 
 def q_media_frames(spark, sf_dir):
-    """Frame sampling over video payloads (row-multiplying mapInPandas)."""
+    """Frame sampling over video payloads (row-multiplying mapInPandas;
+    deterministic byte-slicing stub — pure arithmetic, so SQL-checkable)."""
     media = mm.media_from_documents(_docs(spark, sf_dir))
     return (mm.sample_frames(media)
             .select("doc_id", "frame_idx", F.length("frame").alias("frame_bytes")))
@@ -908,8 +912,12 @@ def q_media_frames(spark, sf_dir):
 
 def q_multiwave_crawl(spark, sf_dir):
     """Resumable multi-wave crawl (politeness-budgeted waves + snapshot
-    checkpoints); returns the final catalog. Oracle-exempt: stateful
-    iterative loop — parity vs the reference simulator is pytest-gated
+    checkpoints); returns the final catalog. The loop is stateful, but its
+    fixpoint is closed-form: every URL is discovered in wave 0 (the seed
+    listing reaches all cards), enqueued once with its wave-0 composite seq,
+    and drained across waves until the frontier empties — so the final
+    catalog equals the derived-doc table with wave-0 seqs, which is the
+    oracle. Parity vs the reference simulator is additionally pytest-gated
     (tests/test_wave_parity.py)."""
     import tempfile
     from ..sources.store import SnapshotStore
@@ -918,6 +926,133 @@ def q_multiwave_crawl(spark, sf_dir):
     cat = wv.crawl(spark, pages, seed_search_url(), store,
                    wave_seconds=150, max_waves=12, n_shards=4)
     return cat.select("seq", "doi", "title", "content_md5")
+
+
+SQL_MULTIWAVE = f"WITH {D_CTE} SELECT seq, doi, title, content_md5 FROM d"
+
+
+def _sql_simhash_near_pairs() -> str:
+    th = _sql_token_hashes("text")
+    bits = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, h -> (h // {1 << i}) % 2 = 1)) > len(th) "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(td.SIMHASH_BITS))
+    return f"""
+WITH base AS (SELECT doc_id, {th} AS th FROM documents WHERE doc_id < 200),
+s AS (SELECT doc_id, ({bits})::BIGINT AS simhash FROM base),
+k AS (SELECT doc_id, simhash, simhash % 64 AS p0,
+             (simhash // 64) % 32 AS p1, simhash // 2048 AS p2 FROM s),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         x.simhash AS a_sim, y.simhash AS b_sim
+  FROM k x JOIN k y
+    ON x.doc_id < y.doc_id AND (x.p0 = y.p0 OR x.p1 = y.p1 OR x.p2 = y.p2))
+SELECT a_id, b_id, bit_count(xor(a_sim, b_sim))::INT AS hamming
+FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= 2
+"""
+
+
+SQL_MEDIA_FRAMES = """
+WITH v AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT doc_id, n, 1 + n % 5 AS nf,
+             greatest(1, n // (1 + n % 5)) AS step FROM v),
+u AS (SELECT doc_id, n, step, unnest(generate_series(0, nf - 1)) AS i FROM f)
+SELECT doc_id, i::INT AS frame_idx,
+       greatest(least((i + 1) * step, n) - i * step, 0)::INT AS frame_bytes
+FROM u
+"""
+
+
+# --- deterministic-plane LSH, regenerated in SQL from first principles ----
+#
+# Bit-exactness argument: every float op is IEEE-754 double with a fixed
+# evaluation order on both engines. The plane values are
+# int(md5(...)[:8], 16) / 0xFFFFFFFF - 0.5 (exact ints, one correctly
+# rounded division, one exact subtraction); normalization and every dot
+# product fold left-to-right from 0.0 (Spark `aggregate` ≡ DuckDB
+# `list_reduce` with a prepended 0.0); sqrt and / are correctly rounded.
+# Identical inputs + identical op sequence ⇒ bit-identical doubles ⇒
+# identical bucket signs, identical candidate sets, identical cosine ranks.
+
+def _sql_fold_dot(a: str, b: str, cast_b: bool = True) -> str:
+    bb = "CAST(z[2] AS DOUBLE)" if cast_b else "z[2]"
+    return (f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * {bb})), "
+            f"(acc, x) -> acc + x)")
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (f"{_sql_fold_dot(a, b)} / (sqrt({_sql_fold_dot(a, a)}) "
+            f"* sqrt({_sql_fold_dot(b, b)}))")
+
+
+def _sql_lsh_buckets_cte(dim: int = 64, n_planes: int = 4,
+                         n_tables: int = 6) -> str:
+    """CTEs pl/pn/vb: vb(vec_id, t, b) = every vector's bucket per table,
+    from planes regenerated by the same md5 arithmetic as similarity._plane."""
+    raw_v = (f"('0x' || substr(md5('plane:' || t || ':' || p || ':' || d), 1, 8))::BIGINT"
+             f" / 4294967295.0 - 0.5")
+    ssq = _sql_fold_dot("raw", "raw", cast_b=True)
+    dot = _sql_fold_dot("v.embedding", "pn.plane", cast_b=False)
+    return f"""
+pl AS (
+  SELECT ts.t, ps.p,
+         list_transform(generate_series(0, {dim - 1}), d -> {raw_v}) AS raw
+  FROM (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) ts,
+       (SELECT unnest(generate_series(0, {n_planes - 1})) AS p) ps),
+pn AS (
+  SELECT t, p, list_transform(raw, x ->
+    x / (CASE WHEN sqrt({ssq}) = 0 THEN 1.0 ELSE sqrt({ssq}) END)) AS plane
+  FROM pl),
+vb AS (
+  SELECT v.vec_id, pn.t,
+         sum(CASE WHEN {dot} >= 0 THEN (1 << pn.p) ELSE 0 END)::BIGINT AS b
+  FROM embeddings v CROSS JOIN pn
+  GROUP BY v.vec_id, pn.t)
+"""
+
+
+def _sql_ann_lsh_topk() -> str:
+    cos = _sql_cos("ne.embedding", "qe.embedding")
+    return f"""
+WITH {_sql_lsh_buckets_cte()},
+q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+qp AS (
+  SELECT q.query_id, vb.t, vb.b FROM q JOIN vb ON vb.vec_id = q.query_id
+  UNION ALL
+  SELECT q.query_id, vb.t, xor(vb.b, 1) FROM q JOIN vb ON vb.vec_id = q.query_id),
+cand AS (
+  SELECT DISTINCT qp.query_id, nb.vec_id AS neighbor_id
+  FROM qp JOIN vb nb ON nb.t = qp.t AND nb.b = qp.b AND nb.vec_id <> qp.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos} AS cos
+  FROM cand c
+  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = c.query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, rank::INT AS rank, neighbor_id, round(cos, 4) AS cos_sim
+FROM r WHERE rank <= 5
+"""
+
+
+def _sql_ann_lsh_near_dup(threshold: float = 0.4) -> str:
+    cos = _sql_cos("ae.embedding", "be.embedding")
+    return f"""
+WITH {_sql_lsh_buckets_cte()},
+cand AS (
+  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM vb x JOIN vb y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id),
+scored AS (
+  SELECT c.a_id, c.b_id, {cos} AS cos
+  FROM cand c
+  JOIN embeddings ae ON ae.vec_id = c.a_id
+  JOIN embeddings be ON be.vec_id = c.b_id)
+SELECT a_id, b_id, round(cos, 4) AS cos_sim FROM scored WHERE cos >= {threshold}
+"""
 
 
 # ==========================================================================
@@ -961,7 +1096,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_meta": q_multimodal_meta,
-    # rows-only (no SQL-expressible oracle)
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -1008,4 +1142,9 @@ def build_oracles() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
         "multimodal_meta": SQL_MULTIMODAL_META,
+        "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_lsh_near_dup": _sql_ann_lsh_near_dup(),
+        "simhash_near_pairs": _sql_simhash_near_pairs(),
+        "media_frames": SQL_MEDIA_FRAMES,
+        "multiwave_crawl": SQL_MULTIWAVE,
     }
