@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.texthash import MERSENNE_31, md5_hash60, perm_coeffs, perm_col
+from ..functions.texthash import MERSENNE_31, md5_hash60, perm_coeffs
 
 N_PERMS = 16
 N_BANDS = 4
@@ -114,15 +114,39 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _min_perm(th: Column, a: int, b: int) -> Column:
-    # one-positional-arg lambda (Spark counts default-arg params in HOFs)
-    return F.array_min(F.transform(th, lambda h: perm_col(h, a, b)))
+SHINGLE_N = 3  # word n-gram width for minhash signatures
+
+
+def distinct_shingle_hashes(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct 60-bit word-n-gram shingle hashes for one document, sorted.
+
+    Shingles (not unigram tokens) are the signature base: token-bag-similar
+    but reordered documents then stop colliding in every band, which is both
+    the standard near-dup semantic (Gopher/RefinedWeb-style n-gram MinHash)
+    and the fix for band-bucket candidate explosion on token-similar corpora.
+    """
+    return F.array_sort(F.transform(ngram_set(text, n), md5_hash60))
 
 
 def minhash_signature(text: Column, n_perms: int = N_PERMS) -> Column:
-    """Array of n_perms minhash values over the doc's distinct token hashes."""
-    th = distinct_token_hashes(text)
-    return F.array(*[_min_perm(th, a, b) for a, b in perm_coeffs(n_perms)])
+    """Array of n_perms minhash values over the doc's distinct shingle hashes.
+
+    ONE pass over the shingle array: fold with an n_perms-wide running-min
+    accumulator. The shingle construction must sit *outside* every lambda —
+    a HOF lambda body is re-evaluated per element, so the naive per-perm
+    ``array_min(transform(th, ...))`` forms evaluate the whole shingle
+    build n_perms times per row (measured 13s vs <1s on the bench corpus).
+    """
+    th = distinct_shingle_hashes(text)
+    coeffs = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in perm_coeffs(n_perms)])
+    init = F.array_repeat(F.lit(MERSENNE_31).cast("long"), n_perms)
+    return F.aggregate(
+        th, init,
+        lambda acc, h: F.zip_with(
+            acc, coeffs,
+            lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(MERSENNE_31))))
 
 
 def minhash_bands(docs: DataFrame, text_col: str = "text",
@@ -137,34 +161,39 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
     sig = docs.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), n_bands * rows_per_band).alias("mh"))
-    bands = F.array(*[
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(",", *[
-                F.element_at("mh", bi * rows_per_band + r + 1).cast("string")
-                for r in range(rows_per_band)
-            ]).alias("sig"),
-        )
-        for bi in range(n_bands)
-    ])
+    # one reference to mh in the whole expression: per-band structs built by
+    # a transform over band indices (16 element_at references would make
+    # CollapseProject inline — and re-evaluate — the signature 16× per row)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda bi: F.struct(
+            bi.cast("int").alias("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("mh"), bi * rows_per_band + 1,
+                            F.lit(rows_per_band)),
+                    lambda v: v.cast("string")),
+                ",").alias("sig")))
     return (sig.select("id", F.explode(bands).alias("b"))
             .select("id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
-                      n: int = 3) -> DataFrame:
+                      n: int = SHINGLE_N) -> DataFrame:
     """Near-dup pairs via LSH banding + exact verification.
 
     shingle → minhash → band → bucket self-join (candidates share >= 1 band)
-    → exact token-set Jaccard filter. Distinct-pairs set, (a_id < b_id).
-    The bucket join shuffles on (band, sig) — skew-safe because a band value
-    that collapses to one giant bucket is itself evidence of near-duplicate
-    mass; AQE skew-split handles the join, and the verification filter caps
-    output. No all-pairs stage anywhere.
+    → exact shingle-set Jaccard filter at ``threshold`` (n-gram semantics
+    end-to-end — what the signature estimates is what the verifier checks).
+    Distinct-pairs set, (a_id < b_id). The bucket join shuffles on
+    (band, sig) — skew-safe because a band value that collapses to one giant
+    bucket is itself evidence of near-duplicate mass; AQE skew-split handles
+    the join, and the verification filter caps output. No all-pairs stage
+    anywhere.
     """
     # materialize: both sides of the bucket self-join, and both verify
-    # joins, would otherwise recompute the signature/token arrays
+    # joins, would otherwise recompute the signature/shingle arrays
     bands = minhash_bands(docs, text_col, id_col).localCheckpoint(eager=False)
     cand = (
         bands.alias("x")
@@ -176,13 +205,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .distinct()
     )
     base = docs.select(F.col(id_col).alias("id"),
-                       F.array_distinct(words(F.col(text_col))).alias("toks")) \
+                       ngram_set(F.col(text_col), n).alias("grams")) \
         .localCheckpoint(eager=False)
-    inter, union = jaccard_counts(F.col("a_toks"), F.col("b_toks"))
+    inter, union = jaccard_counts(F.col("a_grams"), F.col("b_grams"))
     return (
         cand
-        .join(base.select(F.col("id").alias("a_id"), F.col("toks").alias("a_toks")), "a_id")
-        .join(base.select(F.col("id").alias("b_id"), F.col("toks").alias("b_toks")), "b_id")
+        .join(base.select(F.col("id").alias("a_id"), F.col("grams").alias("a_grams")), "a_id")
+        .join(base.select(F.col("id").alias("b_id"), F.col("grams").alias("b_grams")), "b_id")
         .withColumn("n_inter", inter).withColumn("n_union", union)
         .filter(F.col("n_inter") * 10000 >= F.lit(int(threshold * 10000)) * F.col("n_union"))
         .select("a_id", "b_id", "n_inter", "n_union")
@@ -198,21 +227,24 @@ SIMHASH_BITS = 16
 
 def simhash(text: Column, n_bits: int = SIMHASH_BITS) -> Column:
     """n_bits-wide SimHash over distinct token hashes: bit i set iff the
-    (+1/-1) vote of all token hashes' bit i is positive. Pure column
-    expressions — one pass per bit over the token-hash array, all JVM-side."""
+    (+1/-1) vote of all token hashes' bit i is positive.
+
+    ONE pass over the token-hash array: fold with an n_bits-wide *signed*
+    vote accumulator (+1 when the hash has bit i, else -1), so no separate
+    total is needed (ones > zeros ⇔ 2*ones > total). The token-hash build
+    sits outside every lambda — per-bit ``filter(th, ...)`` forms would
+    re-evaluate it n_bits times per row (HOF lambda bodies are re-evaluated
+    per element)."""
     th = distinct_token_hashes(text)
-    total = F.size(th)
-
-    def bit(i: int) -> Column:
-        ones = F.size(F.filter(
-            th, lambda h: h.bitwiseAND(F.lit(1 << i)) != F.lit(0)))
-        # vote = ones - (total - ones) > 0  ⇔  2*ones > total
-        return F.when(ones * 2 > total, F.lit(1 << i)).otherwise(F.lit(0))
-
-    out = F.lit(0)
-    for i in range(n_bits):
-        out = out + bit(i)
-    return out.cast("long")
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(n_bits)])
+    votes = F.aggregate(
+        th, F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)))
+    packed = F.zip_with(votes, masks,
+                        lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def simhash_table(docs: DataFrame, text_col: str = "text",

@@ -602,16 +602,25 @@ def _sql_token_hashes(text_expr: str) -> str:
             + "), ' ')), t -> " + sql_hash60("t") + ")")
 
 
+def _sql_grams(text_expr: str, n: int = 3) -> str:
+    w = f"string_split(lower({text_expr}), ' ')"
+    return (f"list_distinct(list_transform("
+            f"generate_series(1, greatest(1, len({w}) - {n - 1})), "
+            f"i -> array_to_string(({w})[i:i+{n - 1}], ' ')))")
+
+
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash(16) + LSH(4 bands × 4 rows) near-dup pairs, verified at token
-    Jaccard ≥ 0.7 — the scale path (no all-pairs stage)."""
+    """MinHash(16) + LSH(4 bands × 4 rows) over word-3-gram shingles,
+    verified at shingle Jaccard ≥ 0.7 — the scale path (no all-pairs
+    stage, shingle semantics end-to-end)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return td.minhash_lsh_pairs(docs, threshold=0.7)
 
 
 def _sql_minhash() -> str:
+    from ..functions.texthash import sql_hash60
     coeffs = perm_coeffs(td.N_PERMS)
-    th = _sql_token_hashes("text")
+    th = f"list_transform({_sql_grams('text', td.SHINGLE_N)}, t -> {sql_hash60('t')})"
     mins = ", ".join(
         f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_31})) AS m{j}"
         for j, (a, b) in enumerate(coeffs))
@@ -624,21 +633,21 @@ def _sql_minhash() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, {th} AS th,
-         list_distinct(string_split(lower(text), ' ')) AS toks
+         {_sql_grams('text', td.SHINGLE_N)} AS grams
   FROM documents WHERE doc_id < 200),
-sig AS (SELECT doc_id, toks, {mins} FROM base),
+sig AS (SELECT doc_id, grams, {mins} FROM base),
 bands AS ({bands}),
 cand AS (
   SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
   FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
 SELECT c.a_id, c.b_id,
-       len(list_intersect(a.toks, b.toks)) AS n_inter,
-       len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS n_union
+       len(list_intersect(a.grams, b.grams)) AS n_inter,
+       len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS n_union
 FROM cand c
 JOIN sig a ON a.doc_id = c.a_id
 JOIN sig b ON b.doc_id = c.b_id
-WHERE len(list_intersect(a.toks, b.toks)) * 10000
-      >= 7000 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+WHERE len(list_intersect(a.grams, b.grams)) * 10000
+      >= 7000 * (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
 """
 
 

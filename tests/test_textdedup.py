@@ -42,9 +42,11 @@ def test_ngram_jaccard_pairs(docs):
 def test_minhash_identical_docs_always_pair(docs):
     pairs = {(r["a_id"], r["b_id"])
              for r in td.minhash_lsh_pairs(docs, threshold=0.5).collect()}
-    # identical token sets -> identical signatures -> every band collides
+    # identical shingle sets -> identical signatures -> every band collides
     assert (0, 1) in pairs
-    assert (3, 4) in pairs  # same token set, different order
+    # same token BAG but reordered text shares no 3-gram shingles: under
+    # n-gram minhash semantics this is NOT a near-dup pair
+    assert (3, 4) not in pairs
     for a, b in pairs:
         assert a < b
 
