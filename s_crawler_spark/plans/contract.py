@@ -395,6 +395,58 @@ WHERE len(list_intersect(a.toks, b.toks)) * 2 >= len(a.toks) + len(b.toks) - len
 """
 
 
+def q_fetch_lineage(spark, sf_dir):
+    """A3: per-partition fetch/parse lineage (stage, partition_id,
+    n_fetched, n_parsed, parse_ms), rolled up per stage. The partition
+    split and kernel wall-clock are operational (pytest-gated,
+    tests/test_frontier.py); the stage totals are deterministic and
+    oracle-checked here."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    _, lineage = wv.fetch_parse(pages, fresh, return_lineage=True)
+    return (lineage.groupBy("stage")
+            .agg(F.sum("n_fetched").alias("n_fetched"),
+                 F.sum("n_parsed").alias("n_parsed")))
+
+
+SQL_FETCH_LINEAGE = f"""
+WITH {D_CTE}
+SELECT 'detail' AS stage, count(*)::BIGINT AS n_fetched, count(*)::BIGINT AS n_parsed FROM d
+UNION ALL
+SELECT 'viewer', count(*)::BIGINT, count(*)::BIGINT FROM d
+UNION ALL
+SELECT 'payload', count(*)::BIGINT, count(*)::BIGINT FROM d
+"""
+
+
+def q_unique_filenames(spark, sf_dir):
+    """F12: filename-collision counter (reference pdf_processor.py:231-240)
+    as a ranking window over sanitize_filename(title) in crawl order; input
+    titles collide on doc_id % 37 (≈13-deep groups) and carry characters
+    the sanitizer must rewrite."""
+    from ..sources import export as ex
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.col("doc_id").alias("seq"),
+        F.concat(F.lit("Paper <"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(">")).alias("title"))
+    return ex.assign_unique_filenames(base).select("seq", "filename")
+
+
+SQL_UNIQUE_FILENAMES = """
+WITH t AS (
+  SELECT doc_id AS seq,
+         substr(trim(regexp_replace(regexp_replace('Paper <' || (doc_id % 37) || '>', '[<>:"/\\\\|?*]', '_', 'g'), '\\s+', ' ', 'g')), 1, 200) AS b
+  FROM documents),
+r AS (SELECT seq, b, row_number() OVER (PARTITION BY b ORDER BY seq) AS rn FROM t)
+SELECT seq,
+       CASE WHEN rn = 1 THEN b || '.pdf'
+            ELSE b || '_' || (rn - 1) || '.pdf' END AS filename
+FROM r
+"""
+
+
 def q_artifact_stats(spark, sf_dir):
     """S13/A2: artifact-store rollup — downloaded payload count + byte totals
     (reference get_download_stats, src/download_manager.py:65-81)."""
@@ -1083,6 +1135,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_hashes": q_content_hashes,
     "keyword_search": q_keyword_search,
     "title_jaccard": q_title_jaccard,
+    "fetch_lineage": q_fetch_lineage,
+    "unique_filenames": q_unique_filenames,
     "artifact_stats": q_artifact_stats,
     "seen_dedup_bloom": q_seen_dedup_bloom,
     "seen_dedup_cuckoo": q_seen_dedup_cuckoo,
@@ -1129,6 +1183,8 @@ def build_oracles() -> dict[str, str]:
         "content_hashes": SQL_CONTENT_HASHES,
         "keyword_search": SQL_KEYWORD_SEARCH,
         "title_jaccard": SQL_TITLE_JACCARD,
+        "fetch_lineage": SQL_FETCH_LINEAGE,
+        "unique_filenames": SQL_UNIQUE_FILENAMES,
         "artifact_stats": SQL_ARTIFACT_STATS,
         "seen_dedup_bloom": SQL_SEEN_DEDUP,
         "seen_dedup_cuckoo": SQL_SEEN_DEDUP,

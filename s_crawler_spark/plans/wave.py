@@ -35,6 +35,7 @@ from ..functions import scalars
 from ..operators import dedup as dd
 from ..operators import extract as ex
 from ..operators import frontier as fr
+from ..operators import lineage as lg
 from ..operators import politeness as po
 from ..operators import seen as sn
 from ..sources.store import SnapshotStore
@@ -76,13 +77,19 @@ def collect_candidates(pages: DataFrame, seed_url: str,
     return cards
 
 
-def fetch_parse(pages: DataFrame, batch: DataFrame) -> DataFrame:
+def fetch_parse(pages: DataFrame, batch: DataFrame,
+                return_lineage: bool = False):
     """The two-hop fetch + extraction pipeline for one wave's batch.
 
     batch: candidate rows with (url, seq, title, doi, journal,
     publication_date, authors). Returns one row per candidate with extracted
     fields, ``downloaded`` flag and ``content_md5``; candidates whose hops
-    miss keep NULLs and downloaded=false (→ retry bookkeeping).
+    miss keep NULLs and downloaded=false (→ retry bookkeeping). With
+    ``return_lineage`` also returns the per-partition lineage table
+    (stage, partition_id, n_fetched, n_parsed, parse_ms) for the three
+    fetch hops (A3; operators/lineage.py) — the extraction kernels
+    self-time per Arrow batch, so lineage costs one small aggregation, not
+    a re-run.
 
     Join shape (the load-bearing scale decision): the ``html`` column must
     NEVER enter a shuffle or a broadcast. An outer join that preserves the
@@ -111,51 +118,58 @@ def fetch_parse(pages: DataFrame, batch: DataFrame) -> DataFrame:
 
     batch = batch.localCheckpoint(eager=False)
 
-    d1 = (
+    # the per-hop extraction frames get a lazy checkpoint ONLY when lineage
+    # is requested (then each has two consumers: the broadcast-back join and
+    # the metrics rollup); single-consumer plans stay checkpoint-free
+    def _ckpt(df):
+        return df.localCheckpoint(eager=False) if return_lineage else df
+
+    d1 = _ckpt(lg.detail_extract_timed(
         detail.join(F.broadcast(batch.select("url").distinct()),
-                    on="url", how="left_semi")
-        .withColumn("d", ex.extract_detail_udf(F.col("html")))
-        .select("url", F.lit(True).alias("fetched_detail"),
-                F.col("d.abstract").alias("abstract"),
-                F.col("d.pdf_page_url").alias("pdf_page_url"))
-    )
+                    on="url", how="left_semi")))
     step1 = (
-        batch.join(F.broadcast(d1), on="url", how="left")
+        batch.join(F.broadcast(
+            d1.select("url", "abstract", "pdf_page_url")
+            .withColumn("fetched_detail", F.lit(True))), on="url", how="left")
         .withColumn("fetched_detail",
                     F.coalesce(F.col("fetched_detail"), F.lit(False)))
         .localCheckpoint(eager=False)
     )
-    v1 = (
+    v1 = _ckpt(lg.viewer_extract_timed(
         viewer.join(F.broadcast(
             step1.filter(F.col("pdf_page_url").isNotNull())
-            .select("pdf_page_url").distinct()), on="pdf_page_url", how="left_semi")
-        .select("pdf_page_url",
-                ex.find_download_link_udf(F.col("viewer_html")).alias("download_link"))
-    )
+            .select("pdf_page_url").distinct()), on="pdf_page_url", how="left_semi")))
     step2 = (
-        step1.join(F.broadcast(v1), on="pdf_page_url", how="left")
+        step1.join(F.broadcast(v1.select("pdf_page_url", "download_link")),
+                   on="pdf_page_url", how="left")
         .localCheckpoint(eager=False)
     )
-    p1 = (
+    p1 = _ckpt(
         payload.join(F.broadcast(
             step2.filter(F.col("download_link").isNotNull())
             .select("download_link").distinct()), on="download_link", how="left_semi")
         .select("download_link",
                 ex.valid_pdf_content(F.col("payload")).alias("pdf_valid"),
-                scalars.content_md5(F.col("payload")).alias("payload_md5"))
-    )
+                F.when(ex.valid_pdf_content(F.col("payload")),
+                       scalars.content_md5(F.col("payload"))).alias("payload_md5")))
     step3 = (
         step2.join(F.broadcast(p1), on="download_link", how="left")
         .withColumn("pdf_valid", F.coalesce(F.col("pdf_valid"), F.lit(False)))
-        .withColumn("content_md5",
-                    F.when(F.col("pdf_valid"), F.col("payload_md5")))
+        .withColumn("content_md5", F.col("payload_md5"))
         .drop("payload_md5")
     )
-    return step3.withColumn(
+    result = step3.withColumn(
         "downloaded",
         F.col("fetched_detail") & F.col("pdf_valid")
         & F.col("pdf_page_url").isNotNull() & F.col("download_link").isNotNull(),
     ).drop("fetched_detail", "pdf_valid").localCheckpoint(eager=False)
+    if not return_lineage:
+        return result
+    lineage = (
+        lg.stage_metrics(d1, "detail", "abstract")
+        .unionByName(lg.stage_metrics(v1, "viewer", "download_link"))
+        .unionByName(lg.jvm_stage_metrics(p1, "payload", "payload_md5")))
+    return result, lineage
 
 
 ARTICLE_COLS = ["seq", "title", "url", "doi", "journal", "publication_date",
@@ -256,11 +270,9 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # --- fetch + parse (re-hydrate card metadata, J2) ---
         batch_meta = batch.select("url", "seq").join(
             cand_store.dropDuplicates(["url"]), on="url", how="left")
-        # lazy localCheckpoint, not .cache(): cache is logical-plan-keyed and
-        # aliases across invocations (CLAUDE.md invariant); fetch_parse
-        # already checkpoints its result, this re-checkpoint bounds the
-        # lineage of the batch_meta join for the multi-consumer stages below
-        fetched = fetch_parse(pages, batch_meta).localCheckpoint(eager=False)
+        # fetch_parse returns a lazily-checkpointed frame (never .cache():
+        # cache is logical-plan-keyed and aliases across invocations)
+        fetched, lineage = fetch_parse(pages, batch_meta, return_lineage=True)
 
         ok = fetched.filter(F.col("downloaded")).select(*ARTICLE_COLS)
         new_articles = dd.tiered_insert_dedup(ok, seq_col="seq", catalog=catalog)
@@ -291,6 +303,9 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         metrics = frontier_df.groupBy("status").count() \
             .withColumn("wave", F.lit(wave))
         store.commit(metrics, "fetch_log", wave)
+        # A3 / north rule: per-partition lineage + fetch/parse metrics are
+        # wave state too — committed so a resumed run keeps the full ledger
+        store.commit(lineage.withColumn("wave", F.lit(wave)), "lineage", wave)
 
         frontier_df = store.read(spark, "frontier")
         catalog = store.read(spark, "articles")

@@ -10,7 +10,7 @@ bottleneck at scale and off by default).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import scalars
@@ -21,6 +21,39 @@ CSV_COLUMNS = [
     "publication_date", "url", "pdf_url", "download_path", "original_url",
     "pdf_md5", "created_at", "updated_at",
 ]
+
+DOWNLOAD_DIR = "science_downloads"  # reference src/config.py:7
+
+
+def assign_unique_filenames(catalog: DataFrame, title_col: str = "title",
+                            seq_col: str = "seq",
+                            ext: str = ".pdf") -> DataFrame:
+    """F12: collision-free artifact filenames (reference
+    src/pdf_processor.py:228-240, science_crawler_main.py:115-126).
+
+    The reference probes os.path.exists in a counter loop per download:
+    the first arrival keeps ``name.pdf``, the k-th collision (in download
+    order) becomes ``name_{k}.pdf`` with the counter starting at 1. The
+    set-based equivalent is one ranking window over the sanitized name in
+    crawl order (SURVEY.md §2.7): rank 1 → ``name.pdf``, rank r>1 →
+    ``name_{r-1}.pdf``.
+
+    Scale: the window shuffles only (sanitized-name, seq) keys; collision
+    groups are title-derived and tiny, so the per-group sort is bounded —
+    no filesystem probes, no sequential section.
+    """
+    w = Window.partitionBy("__fname_base").orderBy(seq_col)
+    k = F.col("__fname_rank")
+    return (
+        catalog
+        .withColumn("__fname_base", scalars.sanitize_filename(F.col(title_col)))
+        .withColumn("__fname_rank", F.row_number().over(w))
+        .withColumn(
+            "filename",
+            F.when(k == 1, F.concat(F.col("__fname_base"), F.lit(ext)))
+            .otherwise(F.concat(F.col("__fname_base"), F.lit("_"),
+                                (k - 1).cast("string"), F.lit(ext))))
+        .drop("__fname_base", "__fname_rank"))
 
 
 def export_json(catalog: DataFrame, path: str,
@@ -36,7 +69,10 @@ def export_json(catalog: DataFrame, path: str,
 def catalog_to_csv_frame(catalog: DataFrame) -> DataFrame:
     """Project the engine catalog onto the reference's golden CSV schema
     (authors list flattened with ', ' — the documented lossy round-trip,
-    reference src/database_manager.py:69)."""
+    reference src/database_manager.py:69). download_path carries the
+    collision-free artifact path (F12) the reference records after a
+    successful download (science_crawler_main.py:116-117)."""
+    catalog = assign_unique_filenames(catalog)
     cols = {
         "id": F.col("seq"),
         "doi": F.col("doi"),
@@ -48,7 +84,7 @@ def catalog_to_csv_frame(catalog: DataFrame) -> DataFrame:
         "publication_date": F.col("publication_date"),
         "url": F.col("url"),
         "pdf_url": F.col("download_link"),
-        "download_path": F.lit(None).cast("string"),
+        "download_path": F.concat_ws("/", F.lit(DOWNLOAD_DIR), F.col("filename")),
         "original_url": F.col("pdf_page_url"),
         "pdf_md5": F.col("content_md5"),
         "created_at": F.lit(None).cast("timestamp"),

@@ -131,6 +131,29 @@ def test_export_sinks(spark, pages, tmp_path):
     assert dois == {r["doi"] for r in cat.select("doi").collect()}
 
 
+def test_assign_unique_filenames_matches_reference_loop(spark):
+    """F12 parity: the set-based ranking window must produce exactly the
+    filenames the reference's os.path.exists counter loop would
+    (src/pdf_processor.py:231-240), including first-arrival-keeps-base."""
+    import re
+    from s_crawler_spark.sources import export as ex
+    rows = [(i, f"Title <{i % 3}>") for i in range(10)]
+    df = spark.createDataFrame(rows, "seq long, title string")
+    got = {r["seq"]: r["filename"]
+           for r in ex.assign_unique_filenames(df).collect()}
+    existing, expect = set(), {}
+    for i in range(10):
+        base = re.sub(r"\s+", " ",
+                      re.sub(r'[<>:"/\\|?*]', "_", f"Title <{i % 3}>")).strip()[:200]
+        fname, counter = base + ".pdf", 1
+        while fname in existing:
+            fname = f"{base}_{counter}.pdf"
+            counter += 1
+        existing.add(fname)
+        expect[i] = fname
+    assert got == expect
+
+
 def test_parse_robots_policy(spark):
     from s_crawler_spark.operators import politeness as po
     rows = [

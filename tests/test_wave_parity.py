@@ -109,3 +109,47 @@ def test_failure_injection_and_retry_retirement(spark, pages, pages_dict, tmp_pa
     assert failed.count() > 0
     assert failed.filter(F.col("attempts") != 3).count() == 0
     assert failed.filter(F.col("last_error").isNull()).count() == 0
+
+
+def test_fetch_parse_lineage_shape(spark, pages):
+    """A3: lineage table carries per-partition fetch/parse counts + kernel
+    wall-clock; counts reconcile with the batch, timings are sane."""
+    from pyspark.sql import functions as F
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.operators import dedup as dd
+    from s_crawler_spark.plans import wave as wv
+
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    n = fresh.count()
+    fetched, lineage = wv.fetch_parse(pages, fresh, return_lineage=True)
+    rows = lineage.collect()
+    assert set(lineage.columns) == {"stage", "partition_id", "n_fetched",
+                                    "n_parsed", "parse_ms"}
+    stages = {r["stage"] for r in rows}
+    assert stages == {"detail", "viewer", "payload"}
+    by_stage = {}
+    for r in rows:
+        assert r["partition_id"] >= 0
+        if r["stage"] != "payload":
+            assert r["parse_ms"] is not None and r["parse_ms"] >= 0
+        by_stage.setdefault(r["stage"], [0, 0])
+        by_stage[r["stage"]][0] += r["n_fetched"]
+        by_stage[r["stage"]][1] += r["n_parsed"]
+    assert by_stage["detail"] == [n, n]
+    assert by_stage["payload"][1] == fetched.filter(F.col("downloaded")).count()
+
+
+def test_crawl_commits_lineage_table(spark, pages, tmp_path):
+    from pyspark.sql import functions as F
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.plans import wave as wv
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "st"))
+    wv.crawl(spark, pages, seed_search_url(), store,
+             wave_seconds=150, max_waves=12, n_shards=4)
+    lin = store.read(spark, "lineage")
+    assert lin.count() > 0
+    assert {"stage", "partition_id", "n_fetched", "n_parsed", "parse_ms",
+            "wave"} <= set(lin.columns)
