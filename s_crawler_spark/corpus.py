@@ -55,6 +55,13 @@ MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
 
 CARDS_PER_PAGE = 20
 DUP_CARRYOVER = 3  # cards of page p-1 re-listed at the head of page p
+
+# subject-term vocabulary for article keywords (golden 1.csv carries
+# comma-joined subject terms in its keywords column; 'turnkey synthesis'
+# deliberately contains the contract search term 'key')
+SUBJECTS = ["Photochemistry", "Electrocatalysis", "turnkey synthesis",
+            "Materials chemistry", "Liquid crystals", "Polymer physics",
+            "Quantum chemistry"]
 BASE_TS = datetime(2024, 1, 1)
 SEARCH_URL_FMT = "https://www.science.org/action/doSearch?query=scrawl&startPage={p}"
 
@@ -95,6 +102,10 @@ def derive_doc(doc_id: int, text: str, lang: str) -> dict:
     journal = "Science Advances" if doc_id % 3 == 0 else "Science"
     has_journal_span = doc_id % 3 == 0  # absent span → default 'Science'
     abstract = f"Abstract {doc_id}. " + " ".join(words[:12])
+    # 0/1/2 keywords; two distinct vocabulary picks (indices never collide)
+    k1 = doc_id % 7
+    k2 = (k1 + 1 + doc_id % 6) % 7
+    keywords = [SUBJECTS[k1], SUBJECTS[k2]][:doc_id % 3]
     pdf_page_url = f"https://www.science.org/doi/epdf/{doi}"
     download_url = f"https://www.science.org/doi/pdf/{doi}?download=true"
     payload = (f"%PDF-1.4\nscrawl {doi} " + "x" * (doc_id % 1500)).encode("ascii")
@@ -113,6 +124,7 @@ def derive_doc(doc_id: int, text: str, lang: str) -> dict:
         "journal": journal,
         "has_journal_span": has_journal_span,
         "abstract": abstract,
+        "keywords": keywords,
         "pdf_page_url": pdf_page_url,
         "download_url": download_url,
         "payload": payload,
@@ -200,7 +212,22 @@ def render_detail_page(d: dict, filler: int = 0) -> str:
         pdf = f'<a href="{epdf_href}"><i class="icon-pdf"></i></a>'
     else:
         pdf = f'<a class="pdf-link" href="{epdf_href}">PDF</a>'
-    return (f"<html><body><h1>{d['title']}</h1>{abstract}{pdf}"
+    # subject-terms block (two markup variants exercise the extractor
+    # cascade; Nature-style subject list shape, golden 1.csv keywords col)
+    if d["keywords"]:
+        if d["doc_id"] % 2 == 0:
+            kw = ('<ul class="article-keywords">'
+                  + "".join(f'<li><a href="/subjects/{i}">{k}</a></li>'
+                            for i, k in enumerate(d["keywords"]))
+                  + "</ul>")
+        else:
+            kw = ('<div class="keywords-section">'
+                  + "".join(f'<span class="keyword">{k}</span>'
+                            for k in d["keywords"])
+                  + "</div>")
+    else:
+        kw = ""
+    return (f"<html><body><h1>{d['title']}</h1>{abstract}{pdf}{kw}"
             f"{render_filler(d, filler)}</body></html>")
 
 

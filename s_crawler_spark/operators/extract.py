@@ -36,6 +36,7 @@ CARD_ARRAY = T.ArrayType(CARD_STRUCT)
 DETAIL_STRUCT = T.StructType([
     T.StructField("abstract", T.StringType()),
     T.StructField("pdf_page_url", T.StringType()),
+    T.StructField("keywords", T.ArrayType(T.StringType())),
 ])
 
 
@@ -62,12 +63,14 @@ def has_next_page_udf(html: pd.Series) -> pd.Series:
 
 @F.pandas_udf(DETAIL_STRUCT)
 def extract_detail_udf(html: pd.Series) -> pd.DataFrame:
-    """P2 + P3 — detail page HTML → (abstract, pdf_page_url)."""
-    out = html.map(lambda h: {"abstract": None, "pdf_page_url": None}
+    """P2 + P3 — detail page HTML → (abstract, pdf_page_url, keywords)."""
+    out = html.map(lambda h: {"abstract": None, "pdf_page_url": None,
+                              "keywords": None}
                    if h is None else ec.extract_detail(h))
     return pd.DataFrame({
         "abstract": out.map(lambda d: d["abstract"]),
         "pdf_page_url": out.map(lambda d: d["pdf_page_url"]),
+        "keywords": out.map(lambda d: d["keywords"]),
     })
 
 

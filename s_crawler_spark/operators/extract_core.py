@@ -275,12 +275,32 @@ def find_pdf_page_url(root) -> str | None:
     return None
 
 
+KEYWORD_SELECTORS = ["ul.article-keywords li a", ".keywords-section span.keyword"]
+
+
+def extract_keywords(root) -> list | None:
+    """Detail page → subject-term keywords (document order), None if absent.
+
+    The reference's catalog schema and keyword search include a ``keywords``
+    column (src/database_manager.py:51,157-162) that its golden 1.csv
+    carries as comma-joined subject terms, but its science extractor never
+    populates it — this cascade (Nature-style subject-list markup) closes
+    that gap on the engine side."""
+    for selector in KEYWORD_SELECTORS:
+        els = htmlsel.find_elements(root, selector)
+        vals = [e.text for e in els if e.text]
+        if vals:
+            return vals
+    return None
+
+
 def extract_detail(html) -> dict:
-    """One detail page → {'abstract': str|None, 'pdf_page_url': str|None}."""
+    """One detail page → {'abstract', 'pdf_page_url', 'keywords'}."""
     root = htmlsel.parse_html(html)
     return {
         "abstract": extract_abstract(root),
         "pdf_page_url": find_pdf_page_url(root),
+        "keywords": extract_keywords(root),
     }
 
 

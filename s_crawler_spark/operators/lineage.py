@@ -43,6 +43,7 @@ _DETAIL_SCHEMA = T.StructType([
     T.StructField("url", T.StringType()),
     T.StructField("abstract", T.StringType()),
     T.StructField("pdf_page_url", T.StringType()),
+    T.StructField("keywords", T.ArrayType(T.StringType())),
     T.StructField("partition_id", T.IntegerType()),
     T.StructField("parse_ms", T.LongType()),
 ])
@@ -71,7 +72,7 @@ def _detail_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     pid = _pid()
     for pdf in batches:
         t0 = time.perf_counter()
-        out = [({"abstract": None, "pdf_page_url": None}
+        out = [({"abstract": None, "pdf_page_url": None, "keywords": None}
                 if h is None else ec.extract_detail(h))
                for h in pdf["html"]]
         ms = int((time.perf_counter() - t0) * 1000)
@@ -79,6 +80,7 @@ def _detail_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "url": pdf["url"].values,
             "abstract": [d["abstract"] for d in out],
             "pdf_page_url": [d["pdf_page_url"] for d in out],
+            "keywords": [d["keywords"] for d in out],
             "partition_id": pid,
             "parse_ms": _batch_ms(ms, len(pdf)),
         })

@@ -23,7 +23,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..corpus import CARDS_PER_PAGE, DUP_CARRYOVER, MONTHS, seed_search_url, synthesize_pages
+from ..corpus import (CARDS_PER_PAGE, DUP_CARRYOVER, MONTHS, SUBJECTS,
+                      seed_search_url, synthesize_pages)
 from ..functions import scalars
 from ..functions.texthash import MERSENNE_31, perm_coeffs
 from ..operators import dedup as dd
@@ -93,6 +94,7 @@ def _derived(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 MONTHS_SQL = "['" + "','".join(MONTHS) + "']"
+SUBJECTS_SQL = "['" + "','".join(SUBJECTS) + "']"
 P = CARDS_PER_PAGE
 C = DUP_CARRYOVER
 
@@ -124,6 +126,10 @@ d AS (
          WHEN 2 THEN 'Author ' || doc_id || 'A, Author ' || doc_id || 'B'
          ELSE 'Author ' || doc_id || 'A, Author ' || doc_id || 'B, Author ' || doc_id || 'C' END AS authors_csv,
     'Abstract ' || doc_id || '. ' || array_to_string((string_split(text, ' '))[1:12], ' ') AS abstract,
+    CASE WHEN doc_id % 3 = 0 THEN NULL
+         WHEN doc_id % 3 = 1 THEN {SUBJECTS_SQL}[(doc_id % 7)::INT + 1]
+         ELSE {SUBJECTS_SQL}[(doc_id % 7)::INT + 1] || ', '
+              || {SUBJECTS_SQL}[((doc_id % 7 + 1 + doc_id % 6) % 7)::INT + 1] END AS keywords_csv,
     'https://www.science.org/doi/epdf/10.1126/scrawl.' || doc_id AS pdf_page_url,
     'https://www.science.org/doi/pdf/10.1126/scrawl.' || doc_id || '?download=true' AS download_link,
     md5('%PDF-1.4' || chr(10) || 'scrawl 10.1126/scrawl.' || doc_id || ' ' || repeat('x', (doc_id % 1500)::INT)) AS content_md5,
@@ -152,7 +158,8 @@ cards AS (
 """
 
 ARTICLE_OUT = ("seq, doi, title, url, journal, publication_date, "
-               "authors_csv, abstract, pdf_page_url, download_link, content_md5")
+               "authors_csv, abstract, keywords_csv, pdf_page_url, "
+               "download_link, content_md5")
 
 
 # ==========================================================================
@@ -167,7 +174,9 @@ def q_crawl_catalog(spark, sf_dir):
     return cat.select(
         "seq", "doi", "title", "url", "journal", "publication_date",
         scalars.authors_to_csv(F.col("authors")).alias("authors_csv"),
-        "abstract", "pdf_page_url", "download_link", "content_md5")
+        "abstract",
+        scalars.authors_to_csv(F.col("keywords")).alias("keywords_csv"),
+        "pdf_page_url", "download_link", "content_md5")
 
 
 SQL_CRAWL_CATALOG = f"WITH {D_CTE} SELECT {ARTICLE_OUT} FROM d"
@@ -356,16 +365,20 @@ SQL_CONTENT_HASHES = (
 
 def q_keyword_search(spark, sf_dir):
     """P10: LIKE-across-columns catalog search (reference
-    src/database_manager.py:157-162) on the *extracted* catalog."""
+    src/database_manager.py:157-162: title OR abstract OR keywords) on the
+    *extracted* catalog — keywords searched as the stored CSV string,
+    exactly like the reference's keywords column."""
     pages = _pages(spark, sf_dir)
-    cat = wv.run_wave(pages, seed_search_url())
-    return ts.keyword_search(cat, "key", ("title", "abstract")) \
-        .select("doi", "title", "abstract")
+    cat = wv.run_wave(pages, seed_search_url()).withColumn(
+        "keywords_csv", scalars.authors_to_csv(F.col("keywords")))
+    return ts.keyword_search(cat, "key", ("title", "abstract", "keywords_csv")) \
+        .select("doi", "title", "abstract", "keywords_csv")
 
 
 SQL_KEYWORD_SEARCH = (
-    f"WITH {D_CTE} SELECT doi, title, abstract FROM d "
-    "WHERE title LIKE '%key%' OR abstract LIKE '%key%'")
+    f"WITH {D_CTE} SELECT doi, title, abstract, keywords_csv FROM d "
+    "WHERE title LIKE '%key%' OR abstract LIKE '%key%' "
+    "OR keywords_csv LIKE '%key%'")
 
 
 def q_title_jaccard(spark, sf_dir):
@@ -564,11 +577,13 @@ def q_page_health(spark, sf_dir):
 
 
 # detail-page body text concatenates title+abstract(+'PDF' for the pv=3
-# variant) with no separators (single text node per leaf, corpus.py)
+# variant)+keyword terms with no separators (single text node per leaf,
+# corpus.py)
 SQL_PAGE_HEALTH = f"""
 WITH {D_CTE},
 b AS (SELECT url, doc_id,
-             title || abstract || (CASE WHEN doc_id % 4 = 3 THEN 'PDF' ELSE '' END) AS body
+             title || abstract || (CASE WHEN doc_id % 4 = 3 THEN 'PDF' ELSE '' END)
+             || coalesce(replace(keywords_csv, ', ', ''), '') AS body
       FROM d)
 SELECT url,
        (doc_id % 4 <> 3) OR length(body) > 100 AS is_normal,

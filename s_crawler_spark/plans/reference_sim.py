@@ -105,6 +105,7 @@ def simulate_crawl(pages: dict[str, bytes], seed_url: str, max_count: int,
             "publication_date": info.get("publication_date"),
             "authors": info.get("authors", []),
             "abstract": detail.get("abstract"),
+            "keywords": detail.get("keywords"),
             "pdf_page_url": pdf_page_url,
             "download_link": download_link,
             "downloaded": bool(ok),

@@ -129,7 +129,7 @@ def fetch_parse(pages: DataFrame, batch: DataFrame,
                     on="url", how="left_semi")))
     step1 = (
         batch.join(F.broadcast(
-            d1.select("url", "abstract", "pdf_page_url")
+            d1.select("url", "abstract", "pdf_page_url", "keywords")
             .withColumn("fetched_detail", F.lit(True))), on="url", how="left")
         .withColumn("fetched_detail",
                     F.coalesce(F.col("fetched_detail"), F.lit(False)))
@@ -173,8 +173,8 @@ def fetch_parse(pages: DataFrame, batch: DataFrame,
 
 
 ARTICLE_COLS = ["seq", "title", "url", "doi", "journal", "publication_date",
-                "authors", "abstract", "pdf_page_url", "download_link",
-                "downloaded", "content_md5"]
+                "authors", "abstract", "keywords", "pdf_page_url",
+                "download_link", "downloaded", "content_md5"]
 
 
 def run_wave(pages: DataFrame, seed_url: str,

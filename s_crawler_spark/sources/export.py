@@ -80,7 +80,7 @@ def catalog_to_csv_frame(catalog: DataFrame) -> DataFrame:
         "authors": scalars.authors_to_csv(F.col("authors")),
         "journal": F.col("journal"),
         "abstract": F.col("abstract"),
-        "keywords": F.lit(None).cast("string"),
+        "keywords": scalars.authors_to_csv(F.col("keywords")),
         "publication_date": F.col("publication_date"),
         "url": F.col("url"),
         "pdf_url": F.col("download_link"),

@@ -20,6 +20,7 @@ def assert_parity(rows, sim):
         for k in CMP_KEYS:
             assert got[k] == exp[k], (k, got[k], exp[k])
         assert list(got["authors"] or []) == exp["authors"]
+        assert list(got["keywords"] or []) == list(exp["keywords"] or [])
 
 
 def test_run_wave_full_parity(pages, pages_dict):
