@@ -118,51 +118,53 @@ def fetch_parse(pages: DataFrame, batch: DataFrame,
 
     batch = batch.localCheckpoint(eager=False)
 
-    # the per-hop extraction frames get a lazy checkpoint ONLY when lineage
-    # is requested (then each has two consumers: the broadcast-back join and
-    # the metrics rollup); single-consumer plans stay checkpoint-free
-    def _ckpt(df):
-        return df.localCheckpoint(eager=False) if return_lineage else df
-
-    d1 = _ckpt(lg.detail_extract_timed(
+    # Hop chaining: the viewer hop's key set needs only d1 (the candidate
+    # join cannot introduce non-NULL pdf_page_urls), and the payload hop's
+    # only v1 — so the three extracted tables chain directly and the batch
+    # is decorated by three broadcast left joins in ONE final stage. This
+    # removes the two intermediate step-checkpoint rounds the naive
+    # batch→step1→step2 ladder pays (a latency tax at small waves; at scale
+    # it also halves the number of barrier jobs per wave).
+    d1 = lg.detail_extract_timed(
         detail.join(F.broadcast(batch.select("url").distinct()),
-                    on="url", how="left_semi")))
-    step1 = (
-        batch.join(F.broadcast(
-            d1.select("url", "abstract", "pdf_page_url", "keywords")
-            .withColumn("fetched_detail", F.lit(True))), on="url", how="left")
-        .withColumn("fetched_detail",
-                    F.coalesce(F.col("fetched_detail"), F.lit(False)))
-        .localCheckpoint(eager=False)
-    )
-    v1 = _ckpt(lg.viewer_extract_timed(
+                    on="url", how="left_semi")
+    ).localCheckpoint(eager=False)  # consumers: v1 keys, final join(, lineage)
+    v1 = lg.viewer_extract_timed(
         viewer.join(F.broadcast(
-            step1.filter(F.col("pdf_page_url").isNotNull())
-            .select("pdf_page_url").distinct()), on="pdf_page_url", how="left_semi")))
-    step2 = (
-        step1.join(F.broadcast(v1.select("pdf_page_url", "download_link")),
-                   on="pdf_page_url", how="left")
-        .localCheckpoint(eager=False)
-    )
-    p1 = _ckpt(
+            d1.filter(F.col("pdf_page_url").isNotNull())
+            .select("pdf_page_url").distinct()), on="pdf_page_url", how="left_semi")
+    ).localCheckpoint(eager=False)  # consumers: p1 keys, final join(, lineage)
+    p1 = (
         payload.join(F.broadcast(
-            step2.filter(F.col("download_link").isNotNull())
+            v1.filter(F.col("download_link").isNotNull())
             .select("download_link").distinct()), on="download_link", how="left_semi")
         .select("download_link",
                 ex.valid_pdf_content(F.col("payload")).alias("pdf_valid"),
                 F.when(ex.valid_pdf_content(F.col("payload")),
-                       scalars.content_md5(F.col("payload"))).alias("payload_md5")))
-    step3 = (
-        step2.join(F.broadcast(p1), on="download_link", how="left")
+                       scalars.content_md5(F.col("payload"))).alias("payload_md5"))
+    )
+    if return_lineage:  # second consumer (metrics) only exists with lineage
+        p1 = p1.localCheckpoint(eager=False)
+    result = (
+        batch
+        .join(F.broadcast(
+            d1.select("url", "abstract", "pdf_page_url", "keywords")
+            .withColumn("fetched_detail", F.lit(True))), on="url", how="left")
+        .withColumn("fetched_detail",
+                    F.coalesce(F.col("fetched_detail"), F.lit(False)))
+        .join(F.broadcast(v1.select("pdf_page_url", "download_link")),
+              on="pdf_page_url", how="left")
+        .join(F.broadcast(p1), on="download_link", how="left")
         .withColumn("pdf_valid", F.coalesce(F.col("pdf_valid"), F.lit(False)))
         .withColumn("content_md5", F.col("payload_md5"))
         .drop("payload_md5")
+        .withColumn(
+            "downloaded",
+            F.col("fetched_detail") & F.col("pdf_valid")
+            & F.col("pdf_page_url").isNotNull() & F.col("download_link").isNotNull())
+        .drop("fetched_detail", "pdf_valid")
+        .localCheckpoint(eager=False)
     )
-    result = step3.withColumn(
-        "downloaded",
-        F.col("fetched_detail") & F.col("pdf_valid")
-        & F.col("pdf_page_url").isNotNull() & F.col("download_link").isNotNull(),
-    ).drop("fetched_detail", "pdf_valid").localCheckpoint(eager=False)
     if not return_lineage:
         return result
     lineage = (
