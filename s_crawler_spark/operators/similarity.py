@@ -131,6 +131,88 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the standard coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+IVF_SALT = 97  # fixed plane-table salt so centroids are disjoint from LSH planes
+
+
+def _centroid(cell: int, dim: int) -> list[float]:
+    """Deterministic unit centroid for one IVF cell (md5-derived, same
+    regeneration property as the LSH planes: every executor/engine can
+    rebuild them independently — including the SQL oracle)."""
+    return _plane(cell, dim, table=IVF_SALT)
+
+
+def ivf_cell(vec: Column, dim: int, n_cells: int) -> Column:
+    """Coarse-quantizer cell id: argmax over centroids of dot(vec, c)
+    (centroids are unit vectors, so dot-argmax ≡ cosine-argmax; |v| is
+    constant across cells). First-index tie-break — deterministic.
+
+    The centroid literals sit inside the transform's input array (evaluated
+    once); the lambda body only re-reads the plain ``vec`` column reference,
+    which is cheap per element (the HOF re-evaluation trap applies to
+    expensive constructions, not column refs)."""
+    cents = F.array(*[
+        F.array(*[F.lit(v) for v in _centroid(c, dim)])
+        for c in range(n_cells)])
+    dots = F.transform(
+        cents,
+        lambda cv: F.aggregate(
+            F.zip_with(vec, cv, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
+             n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF: assign every vector to its nearest
+    deterministic centroid, probe each query's ``n_probe`` best cells,
+    exact cosine re-rank within the probed cells.
+
+    At 10^10 vectors ``cell`` is the table's partition column, so a probe
+    is an ``n_probe``-partition pruned scan touching ~n_probe/n_cells of
+    the corpus; the query-side probe list is a broadcast. Recall vs brute
+    force is pytest-gated; the whole construction (centroids, assignment,
+    probe order, re-rank) is deterministic and oracle-checked in SQL."""
+    base = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("n_vec"),
+                      ivf_cell(F.col(vec_col), dim, n_cells).alias("cell"))
+    cents = F.array(*[
+        F.array(*[F.lit(v) for v in _centroid(c, dim)])
+        for c in range(n_cells)])
+    qdots = F.transform(
+        cents,
+        lambda cv: F.aggregate(
+            F.zip_with(F.col("query_vec"), cv,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, v: acc + v))
+    # (dot, cell) structs sorted descending → first n_probe cells
+    ranked = F.reverse(F.sort_array(F.zip_with(
+        qdots,
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda d, i: F.struct(d.alias("dot"), i.cast("int").alias("cell")))))
+    probes = queries.select(
+        "query_id", "query_vec",
+        F.explode(F.transform(F.slice(ranked, 1, n_probe),
+                              lambda s: s["cell"])).alias("cell"))
+    j = (base.alias("b")
+         .join(F.broadcast(probes.alias("p")),
+               (F.col("b.cell") == F.col("p.cell"))
+               & (F.col("b.neighbor_id") != F.col("p.query_id")))
+         .withColumn("cos", cosine(F.col("b.n_vec"), F.col("p.query_vec"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     return emb.select(

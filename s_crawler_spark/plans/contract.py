@@ -1115,6 +1115,62 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: deterministic md5-derived unit centroids, argmax
+    cell assignment (the partition column at scale), n_probe best cells per
+    query, exact cosine re-rank. Fully deterministic → exact SQL oracle;
+    recall vs brute force pytest-gated."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return sim.ivf_topk(emb, queries, k=5, dim=64)
+
+
+def _sql_ann_ivf_topk(dim: int = 64, n_cells: int = 16, n_probe: int = 4,
+                      k: int = 5) -> str:
+    raw_v = (f"('0x' || substr(md5('plane:{sim.IVF_SALT}:' || cs.c || ':' || d), 1, 8))::BIGINT"
+             f" / 4294967295.0 - 0.5")
+    ssq = _sql_fold_dot("raw", "raw")
+    dot_v = _sql_fold_dot("v.embedding", "cn.cent", cast_b=False)
+    cos = _sql_cos("ne.embedding", "qe.embedding")
+    return f"""
+WITH ce AS (
+  SELECT cs.c, list_transform(generate_series(0, {dim - 1}), d -> {raw_v}) AS raw
+  FROM (SELECT unnest(generate_series(0, {n_cells - 1})) AS c) cs),
+cn AS (
+  SELECT c, list_transform(raw, x ->
+    x / (CASE WHEN sqrt({ssq}) = 0 THEN 1.0 ELSE sqrt({ssq}) END)) AS cent
+  FROM ce),
+vd AS (
+  SELECT v.vec_id, cn.c, {dot_v} AS dot
+  FROM embeddings v CROSS JOIN cn),
+va AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c ASC) AS rn
+    FROM vd) WHERE rn = 1),
+qp AS (
+  SELECT vec_id AS query_id, c AS cell FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c DESC) AS rn
+    FROM vd WHERE vec_id < 8) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT qp.query_id, va.vec_id AS neighbor_id
+  FROM qp JOIN va ON va.cell = qp.cell AND va.vec_id <> qp.query_id),
+scored AS (
+  SELECT c2.query_id, c2.neighbor_id, {cos} AS cos
+  FROM cand c2
+  JOIN embeddings ne ON ne.vec_id = c2.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = c2.query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, rank::INT AS rank, neighbor_id, round(cos, 4) AS cos_sim
+FROM r WHERE rank <= {k}
+"""
+
+
 def _sql_ann_lsh_near_dup(threshold: float = 0.4) -> str:
     cos = _sql_cos("ae.embedding", "be.embedding")
     return f"""
@@ -1175,6 +1231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_meta": q_multimodal_meta,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
     "simhash_near_pairs": q_simhash_near_pairs,
     "media_frames": q_media_frames,
@@ -1223,6 +1280,7 @@ def build_oracles() -> dict[str, str]:
         "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         "ann_lsh_near_dup": _sql_ann_lsh_near_dup(),
         "simhash_near_pairs": _sql_simhash_near_pairs(),
         "media_frames": SQL_MEDIA_FRAMES,

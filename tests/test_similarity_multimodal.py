@@ -55,6 +55,23 @@ def test_lsh_recall_vs_brute_force(emb):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_recall_vs_brute_force(emb):
+    q = _queries(emb, 8)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim.brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in sim.ivf_topk(emb, q, k=5, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_cells_partition_corpus(emb):
+    cells = emb.select(sim.ivf_cell(F.col("embedding"), 64, 16).alias("c"))
+    vals = [r["c"] for r in cells.collect()]
+    assert all(0 <= v < 16 for v in vals)
+    assert len(set(vals)) > 4  # the quantizer actually spreads the corpus
+
+
 def test_lsh_buckets_deterministic(emb):
     b1 = {r["vec_id"]: r["b"] for r in emb.select(
         "vec_id", sim.lsh_bucket(F.col("embedding"), 64, 6).alias("b")).collect()}
