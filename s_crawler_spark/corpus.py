@@ -340,7 +340,24 @@ def synthesize_pages(spark: SparkSession, sf_dir: str,
     search_pages = assigned.groupBy("page_num").applyInPandas(
         _make_search_page_kernel(filler), schema=PAGES_SCHEMA
     )
-    return doc_pages.unionByName(search_pages)
+    return doc_pages.unionByName(search_pages) \
+        .unionByName(_robots_pages(spark))
+
+
+ALL_HOSTS = ["www.science.org"] + [f"mirror{i}.science.org" for i in range(5)]
+
+# Per-host robots.txt bodies (CRLF, like real servers): Crawl-delay 1 s —
+# the politeness budget the wave scheduler materializes — plus a Disallow
+# prefix that matches no article URL (the rule path is exercised without
+# changing the crawlable set).
+ROBOTS_BODY = "User-agent: *\r\nCrawl-delay: 1\r\nDisallow: /admin\r\n"
+
+
+def _robots_pages(spark: SparkSession) -> DataFrame:
+    rows = [(f"https://{h}/robots.txt", BASE_TS,
+             ROBOTS_BODY.encode("ascii"), ROBOTS_BODY, "en")
+            for h in ALL_HOSTS]
+    return spark.createDataFrame(rows, PAGES_SCHEMA)
 
 
 def seed_search_url() -> str:

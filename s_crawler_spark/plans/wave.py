@@ -229,6 +229,19 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
 
     meta_cols = ["url", "title", "doi", "journal", "publication_date", "authors"]
 
+    if host_policy is None:
+        # north rule: robots.txt rules materialized ONCE as the broadcast
+        # host-policy table — parse each host's /robots.txt page from the
+        # corpus (group-aware, CRLF-safe; operators/politeness.py). Parsed
+        # once per crawl, not per wave: one pages scan, checkpointed.
+        robots = pages.filter(F.col("url").endswith("/robots.txt")) \
+            .select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+                    F.col("html").cast("string").alias("robots_txt"))
+        robots_policy = po.parse_robots_policy(robots, default_delay_ms=1000) \
+            .localCheckpoint(eager=False)
+    else:
+        robots_policy = None
+
     for wave in range(start_wave, max_waves):
         logical_now = LOGICAL_T0 + timedelta(seconds=wave * wave_seconds)
 
@@ -260,9 +273,12 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
 
         # --- politeness-budgeted wave composition + skew salting ---
         pending = fr.eligible_pending(frontier_df, logical_now)
-        if host_policy is None:
-            hosts = pending.select("host").distinct()
-            policy = po.default_host_policy(spark, hosts, crawl_delay_ms=1000)
+        if robots_policy is not None:
+            # hosts with no robots.txt fall back to a 1 s default delay
+            missing = pending.select("host").distinct() \
+                .join(robots_policy.select("host"), on="host", how="left_anti")
+            policy = robots_policy.unionByName(
+                po.default_host_policy(spark, missing, crawl_delay_ms=1000))
         else:
             policy = host_policy
         batch = po.compose_wave(pending, policy, wave_seconds)
