@@ -55,6 +55,24 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return {lang: _count_in(w, sw) for lang, sw in STOPWORDS.items()}
 
 
+def lang_score_array(text: Column) -> Column:
+    """All per-language scores in ONE pass over the token array: fold with a
+    5-wide counter accumulator (the stoplist array-of-arrays literal is
+    constant-folded, so the inner zip_with reads a static value). The
+    per-language ``lang_scores`` forms each re-run their own split+filter —
+    HOF expressions are interpreted, with no common-subexpression
+    elimination across occurrences."""
+    stoplists = F.array(*[
+        F.array(*[F.lit(wd) for wd in STOPWORDS[lg]]) for lg in LANG_ORDER])
+    return F.aggregate(
+        _words(text),
+        F.array_repeat(F.lit(0), len(LANG_ORDER)),
+        lambda acc, t: F.zip_with(
+            acc, stoplists,
+            lambda c, sl: c + F.when(F.array_contains(sl, t),
+                                     F.lit(1)).otherwise(F.lit(0))))
+
+
 def lang_id(text: Column) -> Column:
     """argmax language by stopword score; ties broken by LANG_ORDER; all-zero
     scores → 'und' (undetermined)."""
@@ -66,13 +84,30 @@ def lang_id(text: Column) -> Column:
     return F.when(best > 0, out).otherwise(F.lit("und"))
 
 
+def _lang_from_scores(sc: Column) -> Column:
+    scores = [F.element_at(sc, i + 1) for i in range(len(LANG_ORDER))]
+    best = F.greatest(*scores)
+    out = F.lit("und")
+    for i in reversed(range(len(LANG_ORDER))):
+        out = F.when(scores[i] == best, F.lit(LANG_ORDER[i])).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
 def lang_id_table(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
-    scores = lang_scores(F.col(text_col))
-    return docs.select(
+    """One text pass per row: the score array materializes behind a lazy
+    checkpoint (CollapseProject would otherwise inline the fold into all
+    six output columns), then pred_lang and the per-language columns are
+    cheap element_at arithmetic over it."""
+    sc = docs.select(
         F.col(id_col),
-        lang_id(F.col(text_col)).alias("pred_lang"),
-        *[scores[lg].alias(f"score_{lg}") for lg in LANG_ORDER],
+        lang_score_array(F.col(text_col)).alias("__sc"),
+    ).localCheckpoint(eager=False)
+    return sc.select(
+        F.col(id_col),
+        _lang_from_scores(F.col("__sc")).alias("pred_lang"),
+        *[F.element_at(F.col("__sc"), i + 1).alias(f"score_{lg}")
+          for i, lg in enumerate(LANG_ORDER)],
     )
 
 
