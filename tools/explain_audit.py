@@ -110,6 +110,34 @@ def main() -> int:
          "FlatMapCoGroupsInPandas" in p5 and "SortMergeJoin" not in p5),
     ])
 
+    # W-beyond-broadcast fetch-hop variant (SCALE.md): pages + wave key set
+    # both bucketed by url ⇒ the semi join is storage-partitioned — no
+    # exchange on EITHER side, html never shuffled, by construction
+    wh = tempfile.mkdtemp(prefix="audit_bucketed_")
+    spark.sql("DROP TABLE IF EXISTS pages_bucketed")
+    spark.sql("DROP TABLE IF EXISTS keys_bucketed")
+    pages.write.bucketBy(8, "url").sortBy("url") \
+        .option("path", f"{wh}/pages_b").mode("overwrite") \
+        .saveAsTable("pages_bucketed")
+    pages.select("url").write.bucketBy(8, "url").sortBy("url") \
+        .option("path", f"{wh}/keys_b").mode("overwrite") \
+        .saveAsTable("keys_bucketed")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hop = (spark.table("pages_bucketed")
+               .join(spark.table("keys_bucketed"), on="url", how="left_semi")
+               .select("url"))
+        p6 = plan_of(hop)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    all_ok &= audit("bucketed fetch hop (beyond-broadcast wave sizes)", p6, [
+        ("storage-partitioned semi join: no Exchange on either side",
+         "Exchange" not in p6),
+        ("ReadSchema prunes html out of the url-only hop",
+         "html" not in re.search(r"ReadSchema: [^\n]*", p6).group(0)),
+    ])
+
     from s_crawler_spark.operators import textdedup as td
     p4 = plan_of(td.minhash_lsh_pairs(docs))
     all_ok &= audit("minhash_lsh_pairs", p4, [
