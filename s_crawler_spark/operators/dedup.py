@@ -64,25 +64,39 @@ def tiered_insert_dedup(df: DataFrame, seq_col: str = "seq",
     ``catalog`` (prior waves) contributes DOI/MD5/title block-sets with
     effective seq -∞.
 
-    Scale note: three key-partitioned windows + two small aggregate joins;
-    no global sort, no driver loop.
+    Scale note: ONE key-partitioned window (the tiers partition the rows,
+    so a single composite tier-prefixed key covers all three group-first
+    computations — one shuffle instead of three) + two small aggregate
+    joins for the cross-tier block-sets; no global sort, no driver loop.
+    The windowed base is lazily checkpointed: all four tier branches and
+    both blocker aggregates read it without re-executing the window.
     """
     has_doi = F.col(doi_col).isNotNull()
     has_md5 = F.col(md5_col).isNotNull()
+    has_title = F.col(title_col).isNotNull()
+
+    tier = (F.when(has_doi, 1).when(has_md5, 2)
+            .when(has_title, 3).otherwise(4))
+    # each row is in exactly one tier → one prefixed key, one window.
+    # tier-4 rows (no doi/md5/title) always insert: seq is their unique key.
+    key = (F.when(has_doi, F.concat(F.lit("d:"), F.col(doi_col)))
+           .when(has_md5, F.concat(F.lit("m:"), F.col(md5_col)))
+           .when(has_title, F.concat(F.lit("t:"), F.col(title_col)))
+           .otherwise(F.concat(F.lit("r:"), F.col(seq_col).cast("string"))))
+    firsts = first_occurrence(
+        df.withColumn("__tier", tier).withColumn("__key", key),
+        "__key", seq_col).drop("__key").localCheckpoint(eager=False)
 
     # --- tier 1 ---
-    t1 = first_occurrence(df.filter(has_doi), doi_col, seq_col)
+    t1 = firsts.filter(F.col("__tier") == 1)
     if catalog is not None:
         t1 = anti_join_seen(t1, catalog.filter(F.col(doi_col).isNotNull()), doi_col)
 
     # --- tier 2 ---
-    t2_cand = df.filter(~has_doi & has_md5)
-    w2 = Window.partitionBy(md5_col).orderBy(seq_col)
-    t2_first = (t2_cand.withColumn("__rn", F.row_number().over(w2))
-                .filter(F.col("__rn") == 1).drop("__rn"))
     t1_md5 = t1.filter(F.col(md5_col).isNotNull()).groupBy(md5_col).agg(
         F.min(seq_col).alias("__t1_min_seq"))
-    t2 = (t2_first.join(t1_md5, on=md5_col, how="left")
+    t2 = (firsts.filter(F.col("__tier") == 2)
+          .join(t1_md5, on=md5_col, how="left")
           .filter(F.col("__t1_min_seq").isNull()
                   | (F.col("__t1_min_seq") > F.col(seq_col)))
           .drop("__t1_min_seq"))
@@ -90,15 +104,12 @@ def tiered_insert_dedup(df: DataFrame, seq_col: str = "seq",
         t2 = anti_join_seen(t2, catalog.filter(F.col(md5_col).isNotNull()), md5_col)
 
     # --- tier 3 ---
-    t3_cand = df.filter(~has_doi & ~has_md5 & F.col(title_col).isNotNull())
-    w3 = Window.partitionBy(title_col).orderBy(seq_col)
-    t3_first = (t3_cand.withColumn("__rn", F.row_number().over(w3))
-                .filter(F.col("__rn") == 1).drop("__rn"))
     t12_titles = (t1.select(title_col, seq_col)
                   .unionByName(t2.select(title_col, seq_col))
                   .filter(F.col(title_col).isNotNull())
                   .groupBy(title_col).agg(F.min(seq_col).alias("__t12_min_seq")))
-    t3 = (t3_first.join(t12_titles, on=title_col, how="left")
+    t3 = (firsts.filter(F.col("__tier") == 3)
+          .join(t12_titles, on=title_col, how="left")
           .filter(F.col("__t12_min_seq").isNull()
                   | (F.col("__t12_min_seq") > F.col(seq_col)))
           .drop("__t12_min_seq"))
@@ -106,7 +117,7 @@ def tiered_insert_dedup(df: DataFrame, seq_col: str = "seq",
         t3 = anti_join_seen(t3, catalog.filter(F.col(title_col).isNotNull()), title_col)
 
     # rows with no doi, no md5, no title are always inserted (no check applies)
-    rest = df.filter(~has_doi & ~has_md5 & F.col(title_col).isNull())
+    rest = firsts.filter(F.col("__tier") == 4)
 
     cols = df.columns
     return (t1.select(cols).unionByName(t2.select(cols))
