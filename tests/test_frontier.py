@@ -199,3 +199,89 @@ def test_robots_allowed_longest_prefix(spark):
         F.col("url"), F.array(F.lit("/doi")), F.array(F.lit("/doi/open"))))
     got = {r["url"]: r["ok"] for r in out.collect()}
     assert got == {u: ok for u, ok in rows}
+
+
+def _robots_reference(body, agent="s-crawler-spark", default_ms=25_000):
+    """Independent pure-Python reimplementation of the documented robots
+    group semantics (CRLF split, '#' comments, [ \\t\\r] trim, consecutive
+    UA lines head one group, agent groups override '*', headerless file is
+    global, first Crawl-delay wins, non-empty Disallow/Allow collected) —
+    the differential oracle for parse_robots_policy."""
+    import re
+    lines = []
+    for raw in re.split(r"\r?\n", body):
+        line = re.sub(r"#.*", "", raw).strip(" \t\r")
+        if line:
+            lines.append(line)
+    gid, in_ua, tagged, uas = 0, False, [], []
+    for line in lines:
+        is_ua = line.lower().startswith("user-agent:")
+        if is_ua and not in_ua:
+            gid += 1
+        in_ua = is_ua
+        tagged.append((gid, line))
+        if is_ua:
+            uas.append((gid, line[11:].strip(" \t\r").lower()))
+    agent_gids = {g for g, t in uas if t == agent}
+    star_gids = {g for g, t in uas if t == "*"}
+    if agent_gids:
+        sel = [l for g, l in tagged if g in agent_gids]
+    elif star_gids:
+        sel = [l for g, l in tagged if g in star_gids]
+    elif not uas:
+        sel = [l for _, l in tagged]
+    else:
+        sel = []
+    delay, dis, alw = None, [], []
+    for line in sel:
+        m = re.match(r"(?i)^crawl-delay:[ \t]*([0-9]+)", line)
+        if m and delay is None:
+            delay = int(m.group(1)) * 1000
+        low = line.lower()
+        if low.startswith("disallow:"):
+            v = line[9:].strip(" \t\r")
+            if v:
+                dis.append(v)
+        elif low.startswith("allow:"):
+            v = line[6:].strip(" \t\r")
+            if v:
+                alw.append(v)
+    return (delay if delay is not None else default_ms), dis, alw
+
+
+def test_parse_robots_policy_differential(spark):
+    """200 seeded random robots bodies, one Spark job, field-exact match
+    vs the independent reference implementation."""
+    import random
+    rng = random.Random(20240817)
+    uas = ["*", "s-crawler-spark", "otherbot", "S-Crawler-Spark"]
+    paths = ["/a", "/doi/pdf", "/x y", "/", "/c#frag", "/tabbed"]
+
+    def line():
+        r = rng.random()
+        if r < 0.25:
+            return f"User-agent: {rng.choice(uas)}"
+        if r < 0.45:
+            return f"Disallow: {rng.choice(paths)}"
+        if r < 0.55:
+            return f"disallow:\t{rng.choice(paths)} # c"
+        if r < 0.65:
+            return f"Allow: {rng.choice(paths)}"
+        if r < 0.8:
+            return f"Crawl-delay: {rng.randrange(100)}"
+        if r < 0.9:
+            return "# comment only"
+        return ""
+
+    bodies = []
+    for i in range(200):
+        sep = "\r\n" if i % 2 else "\n"
+        bodies.append((f"h{i}.com", sep.join(line() for _ in range(rng.randrange(0, 14)))))
+    df = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got = {r["host"]: r for r in po.parse_robots_policy(df).collect()}
+    for host, body in bodies:
+        exp_delay, exp_dis, exp_alw = _robots_reference(body)
+        r = got[host]
+        assert r["crawl_delay_ms"] == exp_delay, (host, body)
+        assert list(r["robots_disallow"]) == exp_dis, (host, body)
+        assert list(r["robots_allow"]) == exp_alw, (host, body)
