@@ -78,6 +78,20 @@ def host_rate_metrics(discoveries: DataFrame,
     )
 
 
+def dedup_discoveries(discoveries: DataFrame,
+                      watermark_seconds: int = 3600) -> DataFrame:
+    """Streaming first-occurrence URL dedup: ``dropDuplicatesWithinWatermark``
+    on ``url_hash`` — the in-flight (wave-horizon) analogue of the batch
+    seen-set ladder. State is keyed on url_hash (the same partitioning axis
+    as the Bloom/cuckoo shards) and BOUNDED by the watermark: the store
+    never grows past one horizon of discoveries, because the durable
+    cross-wave dedup is the batch Bloom + exact anti-join — this operator
+    only collapses re-discoveries while they are in flight."""
+    return (discoveries
+            .withWatermark("discovered_at", f"{watermark_seconds} seconds")
+            .dropDuplicatesWithinWatermark(["url_hash"]))
+
+
 ADMIT_SCHEMA = T.StructType([
     T.StructField("host", T.StringType(), False),
     T.StructField("url", T.StringType(), False),

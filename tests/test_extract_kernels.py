@@ -168,3 +168,18 @@ def test_page_predicates():
     assert ec.is_page_normal(wrap(CARD).encode())
     assert not ec.is_page_normal(b"<html><body>tiny</body></html>")
     assert ec.is_page_normal(b"<html><body>" + b"long text " * 20 + b"</body></html>")
+
+
+def test_keyword_cascade():
+    ul = ('<html><body><ul class="article-keywords">'
+          '<li><a href="/subjects/0">Photochemistry</a></li>'
+          '<li><a href="/subjects/1">Liquid crystals</a></li></ul></body></html>')
+    spans = ('<html><body><div class="keywords-section">'
+             '<span class="keyword">turnkey synthesis</span></div></body></html>')
+    none = "<html><body><p>no subject terms</p></body></html>"
+    assert ec.extract_detail(ul)["keywords"] == ["Photochemistry", "Liquid crystals"]
+    assert ec.extract_detail(spans)["keywords"] == ["turnkey synthesis"]
+    assert ec.extract_detail(none)["keywords"] is None
+    # first cascade entry wins when both markups are present
+    both = ul.replace("</body></html>", "") + spans.split("<body>")[1]
+    assert ec.extract_detail(both)["keywords"] == ["Photochemistry", "Liquid crystals"]

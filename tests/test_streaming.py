@@ -77,3 +77,21 @@ def test_politeness_admission_budget(spark, frontier_dir, tmp_path):
         expect = (pend[pend.host == host].sort_values("seq")
                   .head(len(grp))["seq"].tolist())
         assert sorted(grp["seq"].tolist()) == expect
+
+
+def test_dedup_discoveries_first_occurrence(spark, frontier_dir, tmp_path):
+    """Within-watermark streaming dedup: each url_hash appears once in the
+    output even though wave=1 re-enqueues 5 of wave=0's urls."""
+    src = fs.stream_discoveries(spark, frontier_dir)
+    q = (fs.dedup_discoveries(src, watermark_seconds=3600)
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "ded"))
+         .option("checkpointLocation", str(tmp_path / "ded_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "ded"))
+    n_distinct_src = (spark.read.parquet(frontier_dir + "/wave=0")
+                      .unionByName(spark.read.parquet(frontier_dir + "/wave=1"))
+                      .select("url_hash").distinct().count())
+    assert out.count() == n_distinct_src
+    assert out.select("url_hash").distinct().count() == n_distinct_src
