@@ -1,0 +1,128 @@
+"""WARC source/sink: the Common-Crawl container format for the pages table.
+
+The engine's contract input is a ``pages(url, warc_ts, html, text, lang)``
+table (BASELINE.json input_hint); real Common-Crawl deliveries arrive as
+WARC segments (ISO 28500). This connector round-trips between the two:
+
+- ``write_warc``: pages → one ``.warc`` file per partition, records written
+  from Arrow batches inside ``mapInPandas`` (no per-row Python crossing —
+  the kernel sees whole batches; file IO is the sink's job). The returned
+  manifest (partition, n_records) is the action that drives the write.
+  Speculative task re-execution could double-write a part file; a real
+  deployment writes to a temp name and renames on commit exactly like
+  sources/store.SnapshotStore — this local sink keeps the simple form.
+- ``read_warc``: ``binaryFile`` scan of ``*.warc`` → length-driven record
+  parser (Content-Length, so payload bytes containing "WARC/1.0" can never
+  mis-split a record) → pages rows. ``text``/``lang`` are NULL (WARC does
+  not carry them); every downstream crawl plan touches only url/warc_ts/
+  html, so a WARC-read corpus is crawlable as-is (pytest drives run_wave
+  over it and matches the parquet-corpus catalog byte-for-byte).
+
+Scale notes: one WARC segment per input split parses independently
+(mapInPandas over binaryFile rows); segment size is governed by the
+upstream writer (Common Crawl ships ~1 GB segments — set
+``spark.sql.files.maxPartitionBytes`` accordingly or re-chunk on write).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_TS_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), False),
+    T.StructField("html", T.BinaryType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+MANIFEST_SCHEMA = "partition int, n_records long"
+
+
+def warc_record(url: str, ts: datetime, payload: bytes) -> bytes:
+    """One ISO 28500 response record (the header subset the engine needs)."""
+    hdr = ("WARC/1.0\r\n"
+           "WARC-Type: response\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"WARC-Date: {ts.strftime(WARC_TS_FMT)}\r\n"
+           f"Content-Length: {len(payload)}\r\n\r\n").encode("utf-8")
+    return hdr + payload + b"\r\n\r\n"
+
+
+def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes]]:
+    """Length-driven WARC record scan → [(url, ts, payload)]."""
+    out = []
+    pos, n = 0, len(blob)
+    while pos < n:
+        if not blob.startswith(b"WARC/1.0\r\n", pos):
+            break  # trailing padding / truncated tail
+        he = blob.find(b"\r\n\r\n", pos)
+        if he < 0:
+            break
+        headers = {}
+        for line in blob[pos:he].decode("utf-8").split("\r\n")[1:]:
+            k, _, v = line.partition(": ")
+            headers[k.lower()] = v
+        ln = int(headers["content-length"])
+        body = blob[he + 4:he + 4 + ln]
+        out.append((headers["warc-target-uri"],
+                    datetime.strptime(headers["warc-date"], WARC_TS_FMT),
+                    body))
+        pos = he + 4 + ln + 4
+    return out
+
+
+def _write_kernel(out_dir: str):
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc")
+        n = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                    f.write(warc_record(url, ts.to_pydatetime(), bytes(html)))
+                    n += 1
+        yield pd.DataFrame({"partition": [pid], "n_records": [n]})
+    return kernel
+
+
+def write_warc(pages: DataFrame, out_dir: str) -> int:
+    """pages → ``{out_dir}/part-*.warc`` (one segment per partition).
+    Returns the total record count from the per-partition manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = (pages.select("url", "warc_ts", "html")
+                .mapInPandas(_write_kernel(out_dir), schema=MANIFEST_SCHEMA))
+    return sum(r["n_records"] for r in manifest.collect())
+
+
+def _read_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls, tss, htmls = [], [], []
+        for blob in pdf["content"]:
+            for url, ts, body in parse_warc(bytes(blob)):
+                urls.append(url)
+                tss.append(ts)
+                htmls.append(body)
+        yield pd.DataFrame({
+            "url": urls, "warc_ts": tss, "html": htmls,
+            "text": [None] * len(urls), "lang": [None] * len(urls),
+        })
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """``*.warc`` segments → pages rows (text/lang NULL; the crawl plans
+    read only url/warc_ts/html)."""
+    blobs = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc").load(path)
+             .select("content"))
+    return blobs.mapInPandas(_read_kernel, schema=PAGES_SCHEMA)
