@@ -263,25 +263,32 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 2,
     complete candidate set; bit_count on the xor verifies. Three key-hash
     shuffles, no all-pairs stage."""
     t = simhash_table(docs, text_col, id_col)
-    pieces = {
-        "p0": F.col("simhash") % 64,                        # bits 0-5
-        "p1": (F.col("simhash") / 64).cast("long") % 32,    # bits 6-10
-        "p2": (F.col("simhash") / 2048).cast("long"),       # bits 11-15
-    }
-    keyed = t.select(id_col, "simhash",
-                     *[v.alias(k) for k, v in pieces.items()])
-    cands = None
-    for piece in pieces:
-        c = (keyed.alias("x").join(keyed.alias("y"),
-                                   (F.col(f"x.{piece}") == F.col(f"y.{piece}"))
-                                   & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
-             .select(F.col(f"x.{id_col}").alias("a_id"),
-                     F.col(f"y.{id_col}").alias("b_id"),
-                     F.col("x.simhash").alias("a_sim"),
-                     F.col("y.simhash").alias("b_sim")))
-        cands = c if cands is None else cands.unionByName(c)
+    pieces = [
+        F.col("simhash") % 64,                        # bits 0-5
+        (F.col("simhash") / 64).cast("long") % 32,    # bits 6-10
+        (F.col("simhash") / 2048).cast("long"),       # bits 11-15
+    ]
+    # one exploded (piece_idx, piece_val) key → ONE bucket self-join shuffle
+    # (three per-piece joins + union would pay three exchanges and three
+    # join stages for the same candidate set)
+    keyed = t.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("pi"), p.alias("pv"))
+            for i, p in enumerate(pieces)])).alias("pc"),
+    ).select(id_col, "simhash",
+             F.col("pc.pi").alias("pi"), F.col("pc.pv").alias("pv")) \
+        .localCheckpoint(eager=False)
     return (
-        cands.distinct()
+        keyed.alias("x").join(
+            keyed.alias("y"),
+            (F.col("x.pi") == F.col("y.pi")) & (F.col("x.pv") == F.col("y.pv"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .select(F.col(f"x.{id_col}").alias("a_id"),
+                F.col(f"y.{id_col}").alias("b_id"),
+                F.col("x.simhash").alias("a_sim"),
+                F.col("y.simhash").alias("b_sim"))
+        .distinct()
         .withColumn("hamming", F.bit_count(
             F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
         .filter(F.col("hamming") <= max_hamming)
