@@ -41,8 +41,11 @@ def test_bloom_fp_rate_bounded(keys, probes):
     if len(others) == 0:
         return
     bits = seen.bloom_build(arr, max(64, len(arr) * 10))
-    fp = seen.bloom_probe(bits, others).mean()
-    assert fp <= 0.35  # 10 bits/key ⇒ ~1% expected; generous bound
+    hits = int(seen.bloom_probe(bits, others).sum())
+    # 10 bits/key ⇒ ~1% expected fp. A *rate* bound is meaningless for tiny
+    # probe sets (hypothesis can shrink to one unlucky colliding probe), so
+    # bound the count with a small-sample allowance.
+    assert hits <= max(5, 0.35 * len(others))
 
 
 @given(keys_strategy)
