@@ -109,11 +109,14 @@ def main() -> None:
     bench("lang_id", lambda: _noop_write(tstats.lang_id_table(docs)))
     bench("doc_fingerprint", lambda: _noop_write(tstats.fingerprint_table(docs)))
 
-    def _ann():
-        queries = emb.filter(F.col("vec_id") < 32).select(
+    def _queries_df():
+        return emb.filter(F.col("vec_id") < 32).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
-        _noop_write(sim.brute_force_topk(emb, queries, k=10))
-    bench("ann_cosine_topk", _ann)
+
+    bench("ann_cosine_topk",
+          lambda: _noop_write(sim.brute_force_topk(emb, _queries_df(), k=10)))
+    bench("ann_ivf_topk",
+          lambda: _noop_write(sim.ivf_topk(emb, _queries_df(), k=10, dim=64)))
 
     total = round(sum(timings.values()), 3)
     wave_s = timings.get("crawl_wave")

@@ -32,18 +32,10 @@ from datetime import datetime
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from ..corpus import PAGES_SCHEMA
 
 WARC_TS_FMT = "%Y-%m-%dT%H:%M:%SZ"
-
-PAGES_SCHEMA = T.StructType([
-    T.StructField("url", T.StringType(), False),
-    T.StructField("warc_ts", T.TimestampType(), False),
-    T.StructField("html", T.BinaryType(), False),
-    T.StructField("text", T.StringType(), True),
-    T.StructField("lang", T.StringType(), True),
-])
 
 MANIFEST_SCHEMA = "partition int, n_records long"
 
