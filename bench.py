@@ -117,6 +117,8 @@ def main() -> None:
           lambda: _noop_write(sim.brute_force_topk(emb, _queries_df(), k=10)))
     bench("ann_ivf_topk",
           lambda: _noop_write(sim.ivf_topk(emb, _queries_df(), k=10, dim=64)))
+    bench("ann_topk_vectorized",
+          lambda: _noop_write(sim.topk_vectorized(emb, _queries_df(), k=10)))
 
     total = round(sum(timings.values()), 3)
     wave_s = timings.get("crawl_wave")

@@ -896,6 +896,16 @@ SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim FROM r WHERE rank <
 """
 
 
+def q_ann_topk_vectorized(spark, sf_dir):
+    """Arrow/numpy fast path for exact cosine top-k: per-batch BLAS matmul
+    + local top-k, global rank window over tiny triples. Same result
+    contract as ann_cosine_topk — the oracle is shared."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    return sim.topk_vectorized(emb, queries, k=5)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs ≥ 0.425 (threshold sits in a
     data-verified 0.005-wide gap so engine float drift cannot flip a pair)."""
@@ -1227,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_topk_vectorized": q_ann_topk_vectorized,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_label_stats": q_embedding_label_stats,
     "multimodal_meta": q_multimodal_meta,
@@ -1276,6 +1287,7 @@ def build_oracles() -> dict[str, str]:
         "pii_scrub": SQL_PII_SCRUB,
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "ann_cosine_topk": SQL_ANN_TOPK,
+        "ann_topk_vectorized": SQL_ANN_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "embedding_label_stats": SQL_EMBEDDING_LABEL_STATS,
         "multimodal_meta": SQL_MULTIMODAL_META,

@@ -131,3 +131,16 @@ def test_lsh_near_dup_subset_and_recall(spark, emb):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.5, f"near-dup LSH recall {recall:.2f}"
+
+
+def test_vectorized_topk_matches_jvm_exact(emb):
+    """The numpy matmul fast path must return the identical (query, rank,
+    neighbor) result as the JVM-expression baseline; cosines agree to the
+    4dp contract rounding."""
+    q = _queries(emb, 8)
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+               for r in sim.brute_force_topk(emb, q, k=5).collect())
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+               for r in sim.topk_vectorized(emb, q, k=5).collect())
+    assert [x[:3] for x in a] == [x[:3] for x in b]
+    assert all(abs(x[3] - y[3]) <= 1e-4 for x, y in zip(a, b))
