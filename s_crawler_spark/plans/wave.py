@@ -78,7 +78,8 @@ def collect_candidates(pages: DataFrame, seed_url: str,
 
 
 def fetch_parse(pages: DataFrame, batch: DataFrame,
-                return_lineage: bool = False):
+                return_lineage: bool = False,
+                broadcast_keys: bool = True):
     """The two-hop fetch + extraction pipeline for one wave's batch.
 
     batch: candidate rows with (url, seq, title, doi, journal,
@@ -105,11 +106,17 @@ def fetch_parse(pages: DataFrame, batch: DataFrame,
 
     Each intermediate is lazily localCheckpoint'ed: the next hop's key set
     and the final join both consume it, and the checkpoint stops the heavy
-    extraction from executing once per consumer. At wave sizes where the key
-    set outgrows broadcast, the same dataflow runs as a bucket-join against
-    an Iceberg ``pages`` table bucketed by url hash — still shuffle-free on
-    the pages side.
+    extraction from executing once per consumer.
+
+    ``broadcast_keys=False`` is the beyond-broadcast wave-size switch: the
+    six joins drop their broadcast hints and Catalyst/AQE picks the
+    strategy — against a url-bucketed ``pages`` table the hop semi joins
+    become storage-partitioned with no exchange on the pages side
+    (tools/explain_audit.py proves the bucketed plan shape), and the
+    extracted tables hash-join back on their keys. Identical results
+    either way (pytest-pinned).
     """
+    bc = F.broadcast if broadcast_keys else (lambda df: df)
     detail = pages.select(F.col("url"), F.col("html"))
     viewer = pages.select(F.col("url").alias("pdf_page_url"),
                           F.col("html").alias("viewer_html"))
@@ -126,16 +133,16 @@ def fetch_parse(pages: DataFrame, batch: DataFrame,
     # batch→step1→step2 ladder pays (a latency tax at small waves; at scale
     # it also halves the number of barrier jobs per wave).
     d1 = lg.detail_extract_timed(
-        detail.join(F.broadcast(batch.select("url").distinct()),
+        detail.join(bc(batch.select("url").distinct()),
                     on="url", how="left_semi")
     ).localCheckpoint(eager=False)  # consumers: v1 keys, final join(, lineage)
     v1 = lg.viewer_extract_timed(
-        viewer.join(F.broadcast(
+        viewer.join(bc(
             d1.filter(F.col("pdf_page_url").isNotNull())
             .select("pdf_page_url").distinct()), on="pdf_page_url", how="left_semi")
     ).localCheckpoint(eager=False)  # consumers: p1 keys, final join(, lineage)
     p1 = (
-        payload.join(F.broadcast(
+        payload.join(bc(
             v1.filter(F.col("download_link").isNotNull())
             .select("download_link").distinct()), on="download_link", how="left_semi")
         .select("download_link",
@@ -147,14 +154,14 @@ def fetch_parse(pages: DataFrame, batch: DataFrame,
         p1 = p1.localCheckpoint(eager=False)
     result = (
         batch
-        .join(F.broadcast(
+        .join(bc(
             d1.select("url", "abstract", "pdf_page_url", "keywords")
             .withColumn("fetched_detail", F.lit(True))), on="url", how="left")
         .withColumn("fetched_detail",
                     F.coalesce(F.col("fetched_detail"), F.lit(False)))
-        .join(F.broadcast(v1.select("pdf_page_url", "download_link")),
+        .join(bc(v1.select("pdf_page_url", "download_link")),
               on="pdf_page_url", how="left")
-        .join(F.broadcast(p1), on="download_link", how="left")
+        .join(bc(p1), on="download_link", how="left")
         .withColumn("pdf_valid", F.coalesce(F.col("pdf_valid"), F.lit(False)))
         .withColumn("content_md5", F.col("payload_md5"))
         .drop("payload_md5")

@@ -154,3 +154,22 @@ def test_crawl_commits_lineage_table(spark, pages, tmp_path):
     assert lin.count() > 0
     assert {"stage", "partition_id", "n_fetched", "n_parsed", "parse_ms",
             "wave"} <= set(lin.columns)
+
+
+def test_fetch_parse_beyond_broadcast_switch(spark, pages):
+    """broadcast_keys=False (the beyond-broadcast wave-size config switch)
+    must produce the identical fetch result — Catalyst picks the join
+    strategy, the dataflow doesn't change."""
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.operators import dedup as dd
+    from s_crawler_spark.plans import wave as wv
+
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    a = wv.fetch_parse(pages, fresh).orderBy("seq").collect()
+    b = wv.fetch_parse(pages, fresh, broadcast_keys=False) \
+        .orderBy("seq").collect()
+    assert [(r["seq"], r["doi"], r["content_md5"], r["downloaded"])
+            for r in a] == \
+           [(r["seq"], r["doi"], r["content_md5"], r["downloaded"])
+            for r in b]
