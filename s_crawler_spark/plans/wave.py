@@ -26,6 +26,7 @@ Plan shape / scale notes (verified via .explain — see BENCH notes):
 
 from __future__ import annotations
 
+import time
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -319,18 +320,32 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
 
         # commit this wave's state (checkpoint = resumability); re-read the
         # committed snapshots so cross-wave lineage stays bounded — the
-        # parquet snapshot is the wave barrier, exactly like an Iceberg commit
-        store.commit(frontier_df, "frontier", wave)
-        store.commit(catalog, "articles", wave)
-        store.commit(seen_df, "seen", wave)
-        store.commit(cand_store, "candidates", wave)
-        store.commit(sn.build_shards(seen_df, n_shards), "seen_shards", wave)
+        # parquet snapshot is the wave barrier, exactly like an Iceberg
+        # commit. Each commit is a real materialization boundary, so timing
+        # it yields the per-wave phase ledger the reference keeps
+        # (science_crawler_main.py:268-281): the frontier commit carries
+        # fetch+extract+bookkeeping wall, articles the tiered dedup, etc.
+        phase_ms: list[tuple[int, str, int]] = []
+
+        def commit_timed(df, name):
+            t0 = time.perf_counter()
+            store.commit(df, name, wave)
+            phase_ms.append((wave, name, int((time.perf_counter() - t0) * 1000)))
+
+        commit_timed(frontier_df, "frontier")
+        commit_timed(catalog, "articles")
+        commit_timed(seen_df, "seen")
+        commit_timed(cand_store, "candidates")
+        commit_timed(sn.build_shards(seen_df, n_shards), "seen_shards")
         metrics = frontier_df.groupBy("status").count() \
             .withColumn("wave", F.lit(wave))
-        store.commit(metrics, "fetch_log", wave)
+        commit_timed(metrics, "fetch_log")
         # A3 / north rule: per-partition lineage + fetch/parse metrics are
         # wave state too — committed so a resumed run keeps the full ledger
-        store.commit(lineage.withColumn("wave", F.lit(wave)), "lineage", wave)
+        commit_timed(lineage.withColumn("wave", F.lit(wave)), "lineage")
+        store.commit(
+            spark.createDataFrame(phase_ms, "wave int, phase string, ms long"),
+            "phase_log", wave)
 
         frontier_df = store.read(spark, "frontier")
         catalog = store.read(spark, "articles")

@@ -173,3 +173,22 @@ def test_fetch_parse_beyond_broadcast_switch(spark, pages):
             for r in a] == \
            [(r["seq"], r["doi"], r["content_md5"], r["downloaded"])
             for r in b]
+
+
+def test_crawl_commits_phase_log(spark, pages, tmp_path):
+    """A3: the per-wave phase ledger (reference step-timing analogue) is
+    committed alongside the other snapshots."""
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.plans import wave as wv
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "ph"))
+    wv.crawl(spark, pages, seed_search_url(), store,
+             wave_seconds=3600, max_waves=3, n_shards=4)
+    log = store.read(spark, "phase_log")
+    rows = log.collect()
+    assert rows
+    phases = {r["phase"] for r in rows}
+    assert {"frontier", "articles", "seen", "candidates", "seen_shards",
+            "fetch_log", "lineage"} <= phases
+    assert all(r["ms"] >= 0 for r in rows)
