@@ -54,7 +54,9 @@ class Element:
 
     @property
     def classes(self):
-        return self.attrs.get("class", "").split()
+        # a bare `class` attribute parses to None (stdlib semantics) —
+        # selector queries must treat it as class-less, not crash
+        return (self.attrs.get("class") or "").split()
 
     def iter(self):
         """Pre-order (document-order) traversal including self."""
@@ -298,9 +300,13 @@ class _Compound:
                 if c not in have:
                     return False
         for name, op, val in self.attrs:
-            got = el.attrs.get(name)
-            if got is None:
+            if name not in el.attrs:
                 return False
+            # bare attributes parse to None; browsers/Selenium expose them
+            # as "" for value comparisons ([disabled=""] matches <x disabled>)
+            got = el.attrs[name]
+            if got is None:
+                got = ""
             if op == "=" and got != val:
                 return False
             if op == "*=" and val not in got:

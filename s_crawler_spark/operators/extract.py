@@ -33,11 +33,9 @@ CARD_STRUCT = T.StructType([
 ])
 CARD_ARRAY = T.ArrayType(CARD_STRUCT)
 
-DETAIL_STRUCT = T.StructType([
-    T.StructField("abstract", T.StringType()),
-    T.StructField("pdf_page_url", T.StringType()),
-    T.StructField("keywords", T.ArrayType(T.StringType())),
-])
+# NOTE: the detail/viewer extraction hops run through the self-timing Arrow
+# kernels in operators/lineage.py (same extract_core functions); keeping a
+# second pandas-UDF wrapper here would mean two schemas to hand-synchronize.
 
 
 def _card_tuple(info: dict):
@@ -59,25 +57,6 @@ def extract_cards_udf(html: pd.Series) -> pd.Series:
 def has_next_page_udf(html: pd.Series) -> pd.Series:
     """Pagination probe — reference src/link_collector.py:264-275."""
     return html.map(ec.has_next_page)
-
-
-@F.pandas_udf(DETAIL_STRUCT)
-def extract_detail_udf(html: pd.Series) -> pd.DataFrame:
-    """P2 + P3 — detail page HTML → (abstract, pdf_page_url, keywords)."""
-    out = html.map(lambda h: {"abstract": None, "pdf_page_url": None,
-                              "keywords": None}
-                   if h is None else ec.extract_detail(h))
-    return pd.DataFrame({
-        "abstract": out.map(lambda d: d["abstract"]),
-        "pdf_page_url": out.map(lambda d: d["pdf_page_url"]),
-        "keywords": out.map(lambda d: d["keywords"]),
-    })
-
-
-@F.pandas_udf(T.StringType())
-def find_download_link_udf(html: pd.Series) -> pd.Series:
-    """P4 — PDF-viewer page HTML → final download href."""
-    return html.map(lambda h: None if h is None else ec.find_download_link(h))
 
 
 @F.pandas_udf(T.BooleanType())

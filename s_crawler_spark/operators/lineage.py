@@ -102,9 +102,10 @@ def _viewer_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def detail_extract_timed(detail_pages: DataFrame) -> DataFrame:
-    """(url, html) → (url, abstract, pdf_page_url, partition_id, parse_ms).
-    Same extraction kernel as extract.extract_detail_udf (extract_core is
-    the single source of truth), with self-timing per Arrow batch."""
+    """(url, html) → (url, abstract, pdf_page_url, keywords, partition_id,
+    parse_ms). The extraction itself is extract_core.extract_detail — the
+    single source of truth shared with the parity simulator — wrapped with
+    per-Arrow-batch self-timing."""
     return detail_pages.select("url", "html").mapInPandas(
         _detail_batches, schema=_DETAIL_SCHEMA)
 

@@ -48,19 +48,30 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+TOPK_SELECT_MARGIN = 8  # extra per-batch candidates absorbing BLAS float drift
+
+
 def topk_vectorized(emb: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k via a numpy matmul kernel (the Arrow-vectorized
-    fast path; brute_force_topk is the JVM-expression twin it must match).
+    """Exact cosine top-k via a numpy matmul SELECTOR + JVM-fold re-rank
+    (the Arrow-vectorized fast path; bit-identical to brute_force_topk).
 
-    The query matrix ships to every task (it is the small side by
-    construction — one bounded collect, the broadcast pattern); each Arrow
-    batch computes a (batch × queries) cosine matrix with one BLAS matmul
-    and emits only its LOCAL top-k rows per query, so the shuffle that
-    feeds the global rank window carries ≤ k · n_queries · n_batches tiny
-    triples — never vectors, never the full score matrix. Same
-    deterministic tie-break (cos desc, neighbor_id asc)."""
+    Two stages, split so BLAS float behavior can never reach the output:
+
+    1. SELECT: the query matrix ships to every task (small side by
+       construction — one bounded collect, the broadcast pattern); each
+       Arrow batch computes a (batch × queries) cosine matrix with one
+       matmul and keeps its local top-(k + margin) ids per query. BLAS
+       summation order differs from the engine's left-to-right fold by
+       ~1e-15 — far below any margin-crossing rank gap — so the survivor
+       set is a superset of the true top-k.
+    2. RE-RANK: survivors (≤ (k+margin)·queries·batches id pairs — never
+       vectors, never the score matrix) join back to their vectors and the
+       authoritative cosine is the SAME ``cosine()`` column expression as
+       brute_force_topk, so values, ties, and ranks are bit-identical to
+       the JVM baseline and the shared SQL oracle by construction.
+    """
     import numpy as np
     from pyspark.sql import types as T
 
@@ -68,40 +79,41 @@ def topk_vectorized(emb: DataFrame, queries: DataFrame, k: int = 5,
     q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["query_vec"] for r in q_rows], dtype=np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    kk_sel = k + TOPK_SELECT_MARGIN
 
     out_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
         T.StructField("neighbor_id", T.LongType()),
-        T.StructField("cos", T.DoubleType()),
     ])
 
-    def batch_topk(batches):
+    def batch_select(batches):
         import pandas as pd
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             vm = np.array(list(pdf[vec_col]), dtype=np.float64)
             vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             cos = vn @ qn.T  # (batch, n_queries)
-            qcol, ncol, ccol = [], [], []
+            qcol, ncol = [], []
             for j in range(len(q_ids)):
-                col = cos[:, j]
                 mask = ids != q_ids[j]
-                cand_ids, cand_cos = ids[mask], col[mask]
+                cand_ids, cand_cos = ids[mask], cos[:, j][mask]
                 if not len(cand_ids):
                     continue
-                kk = min(k, len(cand_ids))
-                # local top-k with the SAME tie-break as the window: sort by
-                # (-cos, neighbor_id) and keep the first k
-                order = np.lexsort((cand_ids, -cand_cos))[:kk]
-                qcol.extend([q_ids[j]] * kk)
+                m = min(kk_sel, len(cand_ids))
+                order = np.lexsort((cand_ids, -cand_cos))[:m]
+                qcol.extend([q_ids[j]] * m)
                 ncol.extend(cand_ids[order])
-                ccol.extend(cand_cos[order])
-            yield pd.DataFrame({"query_id": qcol, "neighbor_id": ncol,
-                                "cos": ccol})
+            yield pd.DataFrame({"query_id": qcol, "neighbor_id": ncol})
 
-    local = emb.select(id_col, vec_col).mapInPandas(batch_topk, out_schema)
+    survivors = emb.select(id_col, vec_col).mapInPandas(batch_select, out_schema)
+    scored = (survivors
+              .join(emb.select(F.col(id_col).alias("neighbor_id"),
+                               F.col(vec_col).alias("n_vec")), on="neighbor_id")
+              .join(F.broadcast(queries), on="query_id")
+              .withColumn("cos", cosine(F.col("n_vec"), F.col("query_vec"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (local.withColumn("rank", F.row_number().over(w))
+    return (scored.select("query_id", "neighbor_id", "cos")
+            .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id",
                     F.round("cos", 4).alias("cos_sim")))

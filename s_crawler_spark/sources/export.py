@@ -32,28 +32,49 @@ def assign_unique_filenames(catalog: DataFrame, title_col: str = "title",
     src/pdf_processor.py:228-240, science_crawler_main.py:115-126).
 
     The reference probes os.path.exists in a counter loop per download:
-    the first arrival keeps ``name.pdf``, the k-th collision (in download
-    order) becomes ``name_{k}.pdf`` with the counter starting at 1. The
-    set-based equivalent is one ranking window over the sanitized name in
-    crawl order (SURVEY.md §2.7): rank 1 → ``name.pdf``, rank r>1 →
-    ``name_{r-1}.pdf``.
+    the first arrival keeps ``name.pdf``, later collisions (in download
+    order) try ``name_1.pdf, name_2.pdf, ...`` until free — including
+    collisions with names *generated* for other titles (title "A"'s second
+    copy can claim "A_1.pdf", pushing a literal title "A_1" to "A_1_1.pdf").
 
-    Scale: the window shuffles only (sanitized-name, seq) keys; collision
-    groups are title-derived and tiny, so the per-group sort is bounded —
-    no filesystem probes, no sequential section.
+    Distributed exact form: filenames can only collide within a ROOT group
+    — the sanitized base with every trailing ``_<digits>`` run stripped —
+    because every name a group generates keeps its root. So: groupBy(root)
+    → run the reference's counter loop per group in seq order inside an
+    Arrow kernel. Groups are title-derived and tiny (collision chains),
+    the shuffle carries only catalog metadata, and the common no-chain
+    case degenerates to the rank-window formula (the contract oracle).
     """
-    w = Window.partitionBy("__fname_base").orderBy(seq_col)
-    k = F.col("__fname_rank")
-    return (
-        catalog
-        .withColumn("__fname_base", scalars.sanitize_filename(F.col(title_col)))
-        .withColumn("__fname_rank", F.row_number().over(w))
-        .withColumn(
-            "filename",
-            F.when(k == 1, F.concat(F.col("__fname_base"), F.lit(ext)))
-            .otherwise(F.concat(F.col("__fname_base"), F.lit("_"),
-                                (k - 1).cast("string"), F.lit(ext))))
-        .drop("__fname_base", "__fname_rank"))
+    from pyspark.sql import types as T
+
+    base = scalars.sanitize_filename(F.col(title_col))
+    with_base = (catalog
+                 .withColumn("__fname_base", base)
+                 .withColumn("__fname_root",
+                             F.regexp_replace(F.col("__fname_base"),
+                                              r"(_\d+)+$", "")))
+    out_schema = T.StructType(
+        with_base.drop("__fname_root").schema.fields
+        + [T.StructField("filename", T.StringType())])
+    in_cols = [c for c in with_base.columns if c != "__fname_root"]
+
+    def resolve(key, pdf):
+        g = pdf.sort_values(seq_col)
+        taken, names = set(), []
+        for b in g["__fname_base"]:
+            name, counter = b + ext, 1
+            while name in taken:
+                name = f"{b}_{counter}{ext}"
+                counter += 1
+            taken.add(name)
+            names.append(name)
+        out = g[in_cols].copy()
+        out["filename"] = names
+        return out
+
+    return (with_base.groupBy("__fname_root")
+            .applyInPandas(resolve, schema=out_schema)
+            .drop("__fname_base"))
 
 
 def export_json(catalog: DataFrame, path: str,

@@ -51,24 +51,36 @@ def warc_record(url: str, ts: datetime, payload: bytes) -> bytes:
 
 
 def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes]]:
-    """Length-driven WARC record scan → [(url, ts, payload)]."""
+    """Length-driven WARC record scan → [(url, ts, payload)].
+
+    Accepts any WARC/1.x version line. Records without a WARC-Target-URI
+    (warcinfo, metadata — every real Common-Crawl segment starts with a
+    warcinfo record) or that aren't ``response``-typed are skipped, but
+    their Content-Length still advances the scan — skipping is never
+    guessing at boundaries."""
     out = []
     pos, n = 0, len(blob)
     while pos < n:
-        if not blob.startswith(b"WARC/1.0\r\n", pos):
+        if not blob.startswith(b"WARC/1.", pos):
             break  # trailing padding / truncated tail
         he = blob.find(b"\r\n\r\n", pos)
         if he < 0:
             break
         headers = {}
-        for line in blob[pos:he].decode("utf-8").split("\r\n")[1:]:
+        for line in blob[pos:he].decode("utf-8", errors="replace").split("\r\n")[1:]:
             k, _, v = line.partition(": ")
             headers[k.lower()] = v
-        ln = int(headers["content-length"])
+        try:
+            ln = int(headers["content-length"])
+        except (KeyError, ValueError):
+            break  # unskippable: without a length the stream is unframed
         body = blob[he + 4:he + 4 + ln]
-        out.append((headers["warc-target-uri"],
-                    datetime.strptime(headers["warc-date"], WARC_TS_FMT),
-                    body))
+        url = headers.get("warc-target-uri")
+        rtype = headers.get("warc-type", "response")
+        if url is not None and rtype == "response":
+            out.append((url,
+                        datetime.strptime(headers["warc-date"], WARC_TS_FMT),
+                        body))
         pos = he + 4 + ln + 4
     return out
 
@@ -90,8 +102,14 @@ def _write_kernel(out_dir: str):
 
 def write_warc(pages: DataFrame, out_dir: str) -> int:
     """pages → ``{out_dir}/part-*.warc`` (one segment per partition).
-    Returns the total record count from the per-partition manifest."""
+    Returns the total record count from the per-partition manifest.
+    Overwrite semantics: pre-existing ``*.warc`` segments are removed
+    first — a rerun with fewer partitions must not leave stale segments
+    for read_warc's glob to silently mix in."""
     os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.endswith(".warc"):
+            os.unlink(os.path.join(out_dir, f))
     manifest = (pages.select("url", "warc_ts", "html")
                 .mapInPandas(_write_kernel(out_dir), schema=MANIFEST_SCHEMA))
     return sum(r["n_records"] for r in manifest.collect())

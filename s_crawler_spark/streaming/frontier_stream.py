@@ -78,18 +78,50 @@ def host_rate_metrics(discoveries: DataFrame,
     )
 
 
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
 def dedup_discoveries(discoveries: DataFrame,
                       watermark_seconds: int = 3600) -> DataFrame:
-    """Streaming first-occurrence URL dedup: ``dropDuplicatesWithinWatermark``
-    on ``url_hash`` — the in-flight (wave-horizon) analogue of the batch
-    seen-set ladder. State is keyed on url_hash (the same partitioning axis
-    as the Bloom/cuckoo shards) and BOUNDED by the watermark: the store
-    never grows past one horizon of discoveries, because the durable
-    cross-wave dedup is the batch Bloom + exact anti-join — this operator
-    only collapses re-discoveries while they are in flight."""
+    """Streaming first-occurrence URL dedup — the in-flight (wave-horizon)
+    analogue of the batch seen-set ladder.
+
+    Keyed stateful kernel, NOT a bare ``dropDuplicates`` (CLAUDE.md
+    invariant: dedup is first-occurrence-by-seq): within the first
+    micro-batch that carries a url_hash the MIN-``seq`` row survives
+    (bare dropDuplicates keeps whichever row the state store meets first —
+    partition order, not crawl order); later batches emit nothing for that
+    key. State is one boolean per url_hash (the same partitioning axis as
+    the Bloom/cuckoo shards), evicted by event-time timeout one watermark
+    horizon after the key's last activity — the durable cross-wave dedup
+    is the batch Bloom + exact anti-join; this operator only collapses
+    re-discoveries while they are in flight."""
+    def first_occurrence(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs)).sort_values("seq")
+        ts_ms = int(rows["discovered_at"].max().timestamp() * 1000)
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.exists:
+            state.update((True,))
+            out = rows.head(1)
+        else:
+            out = rows.head(0)
+        state.setTimeoutTimestamp(max(ts_ms, wm_ms + 1)
+                                  + watermark_seconds * 1000)
+        yield out
+
     return (discoveries
             .withWatermark("discovered_at", f"{watermark_seconds} seconds")
-            .dropDuplicatesWithinWatermark(["url_hash"]))
+            .groupBy("url_hash")
+            .applyInPandasWithState(
+                first_occurrence,
+                outputStructType=FRONTIER_STREAM_SCHEMA,
+                stateStructType=_DEDUP_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))
 
 
 ADMIT_SCHEMA = T.StructType([

@@ -138,13 +138,17 @@ def test_assign_unique_filenames_matches_reference_loop(spark):
     import re
     from s_crawler_spark.sources import export as ex
     rows = [(i, f"Title <{i % 3}>") for i in range(10)]
+    # cross-base collision chain: "A"'s 2nd copy claims A_1.pdf, pushing the
+    # literal title "A_1" to A_1_1.pdf (reference probes the filesystem, so
+    # generated names block other titles too)
+    rows += [(100, "A"), (101, "A"), (102, "A_1"), (103, "A_1"), (104, "A_2")]
     df = spark.createDataFrame(rows, "seq long, title string")
     got = {r["seq"]: r["filename"]
            for r in ex.assign_unique_filenames(df).collect()}
     existing, expect = set(), {}
-    for i in range(10):
+    for i, title in sorted(rows):
         base = re.sub(r"\s+", " ",
-                      re.sub(r'[<>:"/\\|?*]', "_", f"Title <{i % 3}>")).strip()[:200]
+                      re.sub(r'[<>:"/\\|?*]', "_", title)).strip()[:200]
         fname, counter = base + ".pdf", 1
         while fname in existing:
             fname = f"{base}_{counter}.pdf"

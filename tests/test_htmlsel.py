@@ -120,3 +120,16 @@ def test_fast_parser_edge_cases():
     ]
     for html in cases:
         assert _tree_sig(parse_html(html)) == _tree_sig(parse_html_stdlib(html)), html
+
+
+def test_selectors_survive_bare_attributes():
+    """Bare (valueless) attributes parse to None; selector queries must not
+    crash and must treat them per browser semantics (value '' for compares,
+    present for [attr])."""
+    from s_crawler_spark.functions.htmlsel import find_element, find_elements, parse_html
+    root = parse_html('<div class>x</div><p class="a">y</p>'
+                      '<span disabled>z</span><i data-x="">w</i>')
+    assert find_element(root, ".a").text == "y"          # no crash on bare class
+    assert find_element(root, "[disabled]").text == "z"  # presence matches bare
+    assert find_element(root, "[data-x='']").text == "w"
+    assert find_elements(root, "span[disabled='']")      # bare compares as ''

@@ -80,8 +80,9 @@ def test_politeness_admission_budget(spark, frontier_dir, tmp_path):
 
 
 def test_dedup_discoveries_first_occurrence(spark, frontier_dir, tmp_path):
-    """Within-watermark streaming dedup: each url_hash appears once in the
-    output even though wave=1 re-enqueues 5 of wave=0's urls."""
+    """Within-watermark streaming dedup: each url_hash appears once, and the
+    survivor is the MIN-seq row (first occurrence in crawl order), even
+    though wave=1 re-enqueues 5 of wave=0's urls."""
     src = fs.stream_discoveries(spark, frontier_dir)
     q = (fs.dedup_discoveries(src, watermark_seconds=3600)
          .writeStream.format("parquet")
@@ -90,8 +91,13 @@ def test_dedup_discoveries_first_occurrence(spark, frontier_dir, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination()
     out = spark.read.parquet(str(tmp_path / "ded"))
-    n_distinct_src = (spark.read.parquet(frontier_dir + "/wave=0")
-                      .unionByName(spark.read.parquet(frontier_dir + "/wave=1"))
-                      .select("url_hash").distinct().count())
+    both = (spark.read.parquet(frontier_dir + "/wave=0")
+            .unionByName(spark.read.parquet(frontier_dir + "/wave=1")))
+    n_distinct_src = both.select("url_hash").distinct().count()
     assert out.count() == n_distinct_src
     assert out.select("url_hash").distinct().count() == n_distinct_src
+    # first-occurrence-by-seq, never an arbitrary survivor
+    min_seq = {r["url_hash"]: r["m"] for r in
+               both.groupBy("url_hash").agg(F.min("seq").alias("m")).collect()}
+    for r in out.collect():
+        assert r["seq"] == min_seq[r["url_hash"]]

@@ -40,3 +40,30 @@ def test_parse_warc_payload_containing_magic(tmp_path):
     recs = wc.parse_warc(blob)
     assert [(u, p) for u, _, p in recs] == \
         [("https://a/1", tricky), ("https://a/2", b"ok")]
+
+
+def test_parse_warc_real_world_shapes(tmp_path):
+    """Common-Crawl-shaped input: leading warcinfo record (no target URI),
+    WARC/1.1 version line, a request-typed record — all skipped by
+    Content-Length framing, responses still extracted."""
+    from datetime import datetime
+    info_body = b"software: test\r\n"
+    warcinfo = (b"WARC/1.1\r\nWARC-Type: warcinfo\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+                + f"Content-Length: {len(info_body)}\r\n\r\n".encode()
+                + info_body + b"\r\n\r\n")
+    req_body = b"GET / HTTP/1.1\r\n"
+    request = (b"WARC/1.1\r\nWARC-Type: request\r\n"
+               b"WARC-Target-URI: https://a/1\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+               + f"Content-Length: {len(req_body)}\r\n\r\n".encode()
+               + req_body + b"\r\n\r\n")
+    resp = wc.warc_record("https://a/1", datetime(2024, 1, 1), b"payload")
+    resp11 = resp.replace(b"WARC/1.0", b"WARC/1.1", 1)
+    recs = wc.parse_warc(warcinfo + request + resp11)
+    assert [(u, p) for u, _, p in recs] == [("https://a/1", b"payload")]
+
+
+def test_write_warc_removes_stale_segments(spark, pages, tmp_path):
+    out = str(tmp_path / "seg")
+    wc.write_warc(pages, out)                      # many partitions
+    n = wc.write_warc(pages.coalesce(1), out)      # rerun with 1 partition
+    assert wc.read_warc(spark, out).count() == n == pages.count()
