@@ -29,6 +29,7 @@ parse, amortized over Arrow batches); nothing here touches Spark APIs.
 from __future__ import annotations
 
 import re
+import types
 from html.parser import HTMLParser
 
 _VOID_TAGS = frozenset(
@@ -185,8 +186,12 @@ def _parse_attrs_uncached(s):
 # Real pages repeat the same attribute strings thousands of times
 # (class="card", class="rr-item", ...): memoizing the parse converts the
 # per-tag regex scan — ~35% of parse_html time on Common-Crawl-weight
-# markup — into one dict lookup. The cached dict is SHARED across elements;
-# Element.attrs is read-only by contract (verified: no mutation sites).
+# markup — into one dict lookup. The cached mapping is SHARED across
+# elements, so it is wrapped in MappingProxyType: any future caller that
+# tried to mutate el.attrs (pop/setdefault/assignment) raises immediately
+# instead of silently corrupting every other element and later document
+# sharing the same attrs string in the worker. Near-zero cost (one proxy
+# object per distinct attrs string, reads are plain dict reads).
 _ATTRS_CACHE: dict = {}
 _ATTRS_CACHE_MAX = 100_000
 
@@ -196,7 +201,8 @@ def _parse_attrs(s):
     if hit is None:
         if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
             _ATTRS_CACHE.clear()
-        hit = _parse_attrs_uncached(s)
+        attrs, selfclose = _parse_attrs_uncached(s)
+        hit = (types.MappingProxyType(attrs), selfclose)
         _ATTRS_CACHE[s] = hit
     return hit
 

@@ -53,24 +53,41 @@ def default_host_policy(spark: SparkSession, hosts: list[str] | DataFrame,
     return spark.createDataFrame(rows, HOST_POLICY_SCHEMA)
 
 
-def _longest_prefix_len(path, prefixes):
-    """Length of the longest prefix in ``prefixes`` matching ``path`` (0 if
-    none) — the RFC 9309 §2.4.2 most-specific-rule measure."""
-    return F.aggregate(
-        prefixes, F.lit(0),
-        lambda acc, p: F.when(path.startswith(p) & (F.length(p) > acc),
-                              F.length(p)).otherwise(acc))
-
-
 def robots_allowed(url_col, disallow_col, allow_col=None):
     """RFC 9309 path-prefix check: allowed unless some Disallow prefix
     matches AND no Allow prefix at least as long also matches (longest-match
-    precedence; Allow wins ties). JVM-side: parse_url + array aggregates."""
+    precedence; Allow wins ties) — equivalently ``allow_len >= dis_len``
+    (dis_len = 0 makes it trivially true). JVM-side: parse_url + ONE array
+    aggregate.
+
+    Single-fold shape (HOF lambdas get no cross-occurrence CSE and their
+    bodies re-evaluate per element): Disallow and Allow prefixes are tagged
+    and concatenated so one fold computes both longest-match lengths, and
+    the url's parsed path rides in the fold's ACCUMULATOR (the init value
+    evaluates once per row) instead of being re-parsed per prefix element.
+    """
     path = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit("/"))
-    dis_len = _longest_prefix_len(path, disallow_col)
     if allow_col is None:
-        return dis_len == 0
-    return (dis_len == 0) | (_longest_prefix_len(path, allow_col) >= dis_len)
+        allow_col = F.array().cast("array<string>")
+    tagged = F.concat(
+        F.transform(disallow_col,
+                    lambda p: F.struct(p.alias("p"), F.lit(True).alias("dis"))),
+        F.transform(allow_col,
+                    lambda p: F.struct(p.alias("p"), F.lit(False).alias("dis"))))
+    init = F.struct(path.alias("path"),
+                    F.lit(0).alias("dl"), F.lit(0).alias("al"))
+
+    def _step(s, t):
+        hit = s["path"].startswith(t["p"])
+        plen = F.length(t["p"])
+        return F.struct(
+            s["path"].alias("path"),
+            F.when(t["dis"] & hit & (plen > s["dl"]), plen)
+            .otherwise(s["dl"]).alias("dl"),
+            F.when(~t["dis"] & hit & (plen > s["al"]), plen)
+            .otherwise(s["al"]).alias("al"))
+
+    return F.aggregate(tagged, init, _step, lambda s: s["al"] >= s["dl"])
 
 
 def compose_wave(pending: DataFrame, host_policy: DataFrame,
@@ -82,10 +99,19 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     reference's id-ordered drain (src/database_manager.py:199). Hosts missing
     from the policy get the default delay. Robots-disallowed rows are dropped.
 
-    Scale notes: the policy join is an explicit broadcast; the per-host
-    ranking window shuffles once on ``host`` — the Zipf-head host's window is
-    bounded by its own budget, and the subsequent fetch stage re-spreads rows
-    via frontier.salt_partitions, so no task inherits a whole host.
+    Scale notes: the policy join is an explicit broadcast, and admission is
+    a TWO-PHASE bounded top-k. A single per-host window would sort ALL of
+    the Zipf-head host's eligible rows in one task before the budget filter
+    (budget bounds the output, not the sort input — at a 10^10-row frontier
+    with a 70%-head host that is a ~10^9-row single-task sort-spill). Phase
+    1 ranks within (host, input-partition) — the head host spreads across
+    its source partitions — and keeps only rank ≤ host_budget per group, so
+    phase 2's authoritative per-host window sorts at most
+    ``budget × n_partitions`` rows. Output is unchanged: every row in the
+    global first-``budget`` by (priority, seq) has local rank ≤ global rank
+    ≤ budget in its own partition, so local pruning is prefix-stable. The
+    subsequent fetch stage re-spreads rows via frontier.salt_partitions, so
+    no task inherits a whole host.
     """
     joined = pending.join(F.broadcast(host_policy), on="host", how="left")
     joined = joined.withColumn(
@@ -100,9 +126,14 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
         | robots_allowed(F.col("url"), F.col("robots_disallow"),
                          F.coalesce(F.col("robots_allow"),
                                     F.array().cast("array<string>"))))
+    lw = Window.partitionBy("host", "__pid").orderBy("priority", "seq")
+    pruned = (allowed.withColumn("__pid", F.spark_partition_id())
+              .withColumn("__lrank", F.row_number().over(lw))
+              .filter(F.col("__lrank") <= F.col("host_budget"))
+              .drop("__pid", "__lrank"))
     w = Window.partitionBy("host").orderBy("priority", "seq")
     return (
-        allowed.withColumn("__rank", F.row_number().over(w))
+        pruned.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= F.col("host_budget"))
         .drop("__rank", "host_budget", "crawl_delay_ms",
               "robots_disallow", "robots_allow", "user_agent")
@@ -112,18 +143,22 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
 _WS = " \t\r"  # robots.txt line/value trim set (CRLF bodies leave a trailing
 # \r on every split line; tabs are legal blank padding per RFC 9309 §2.2)
 
-_TAGGED_T = "array<struct<gid:int,line:string>>"
 
-
-def _rule_values(sel, prefix: str):
-    """Trimmed non-empty values of ``prefix:`` rule lines in the selected
-    group (case-insensitive prefix match on already-trimmed lines)."""
+def _rule_value(prefix: str):
+    """Trimmed value of a ``prefix:`` rule line (NULL when the line is not
+    that rule; case-insensitive prefix match on already-trimmed lines)."""
     plen = len(prefix) + 2  # value starts after "<prefix>:"
+    return F.when(
+        F.lower(F.col("line")).startswith(prefix + ":"),
+        F.btrim(F.substring(F.col("line"), plen, 100000), F.lit(_WS)))
+
+
+def _ordered_values(pos_val_structs):
+    """collect_list of (pos, val) structs → values in line order, empties
+    dropped (collect_list already skipped the NULL non-matching lines)."""
     return F.filter(
-        F.transform(
-            F.filter(sel, lambda t: F.lower(t["line"]).startswith(prefix + ":")),
-            lambda t: F.btrim(F.substring(t["line"], plen, 100000), F.lit(_WS))),
-        lambda p: p != "")
+        F.transform(F.array_sort(pos_val_structs), lambda s: s["val"]),
+        lambda v: v != "")
 
 
 def parse_robots_policy(robots: DataFrame,
@@ -143,60 +178,81 @@ def parse_robots_policy(robots: DataFrame,
     as one global group (lenient real-world behavior). Per selected group:
     all non-empty ``Disallow``/``Allow`` prefixes, first ``Crawl-delay``
     wins, missing delay → engine default.
+
+    Shape: the group-id state machine runs as a WINDOW PREFIX-SUM over
+    posexploded lines (gid = running count of User-agent-run starts), not as
+    an array fold — a fold tagging L lines with a growing array accumulator
+    copies O(L^2) cells in the interpreted HOF evaluator, so one real-world
+    robots.txt with tens of thousands of lines could stall a task. The
+    window shuffles on ``host`` (each host's lines sort in one task, bounded
+    by its own file size); the policy build is a tiny side input next to the
+    frontier, so these exchanges are noise at scale.
     """
-    raw = F.split(F.col(body_col), r"\r?\n")
-    lines = F.filter(
-        F.transform(raw, lambda l: F.btrim(
-            F.regexp_replace(l, "#.*", ""), F.lit(_WS))),
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(body_col), r"\r?\n"),
+                    lambda l: F.btrim(F.regexp_replace(l, "#.*", ""),
+                                      F.lit(_WS))),
         lambda l: l != "")
+    hosts = robots.select(F.col(host_col).alias("host"))
+    rows = (robots
+            .select(F.col(host_col).alias("host"), lines_arr.alias("__lines"))
+            .select("host", F.posexplode("__lines").alias("pos", "line"))
+            .withColumn("__is_ua",
+                        F.lower(F.col("line")).startswith("user-agent:")))
+    w = Window.partitionBy("host").orderBy("pos")
+    # gid increments at the first User-agent line of each header run
+    # (adjacent UA lines share a group); pre-group preamble lines get gid 0
+    rows = rows.withColumn(
+        "__start",
+        (F.col("__is_ua") & ~F.lag("__is_ua", 1, False).over(w)).cast("int"))
+    rows = rows.withColumn("__gid", F.sum("__start").over(w)) \
+        .localCheckpoint(eager=False)
 
-    # group-id state machine over the line array: gid increments at the first
-    # User-agent line of each header run (adjacent UA lines share a group)
-    init = F.struct(
-        F.lit(0).alias("gid"), F.lit(False).alias("in_ua"),
-        F.array().cast(_TAGGED_T).alias("tagged"))
+    token = F.lower(F.btrim(F.substring(F.col("line"), 12, 100000),
+                            F.lit(_WS)))
+    gsel = rows.groupBy("host").agg(
+        F.collect_set(F.when(F.col("__is_ua")
+                             & (token == agent_token.lower()),
+                             F.col("__gid"))).alias("__agent_gids"),
+        F.collect_set(F.when(F.col("__is_ua") & (token == "*"),
+                             F.col("__gid"))).alias("__star_gids"),
+        F.max(F.col("__is_ua")).alias("__has_ua"))
 
-    def _step(s, l):
-        is_ua = F.lower(l).startswith("user-agent:")
-        gid2 = F.when(is_ua & ~s["in_ua"], s["gid"] + 1).otherwise(s["gid"])
-        return F.struct(
-            gid2.alias("gid"), is_ua.alias("in_ua"),
-            F.concat(s["tagged"], F.array(F.struct(
-                gid2.cast("int").alias("gid"), l.alias("line")))).alias("tagged"))
+    keep = (F.when(~F.col("__has_ua"), F.lit(True))  # headerless: global
+            .when(F.size("__agent_gids") > 0,
+                  F.array_contains(F.col("__agent_gids"), F.col("__gid")))
+            .when(F.size("__star_gids") > 0,
+                  F.array_contains(F.col("__star_gids"), F.col("__gid")))
+            .otherwise(F.lit(False)))
+    selected = rows.join(gsel, "host").filter(keep)
 
-    tagged = F.aggregate(lines, init, _step, lambda s: s["tagged"])
-
-    uas = F.transform(
-        F.filter(tagged, lambda t: F.lower(t["line"]).startswith("user-agent:")),
-        lambda t: F.struct(
-            t["gid"].alias("gid"),
-            F.lower(F.btrim(F.substring(t["line"], 12, 100000),
-                            F.lit(_WS))).alias("token")))
-    agent_gids = F.transform(
-        F.filter(uas, lambda u: u["token"] == F.lit(agent_token.lower())),
-        lambda u: u["gid"])
-    star_gids = F.transform(
-        F.filter(uas, lambda u: u["token"] == "*"), lambda u: u["gid"])
-
-    sel = (
-        F.when(F.size(agent_gids) > 0,
-               F.filter(tagged, lambda t: F.array_contains(agent_gids, t["gid"])))
-        .when(F.size(star_gids) > 0,
-              F.filter(tagged, lambda t: F.array_contains(star_gids, t["gid"])))
-        .when(F.size(uas) == 0, tagged)  # headerless file: rules are global
-        .otherwise(F.array().cast(_TAGGED_T)))
-
-    delays = F.filter(
-        F.transform(sel, lambda t: F.regexp_extract(
-            t["line"], r"(?i)^crawl-delay:[ \t]*([0-9]+)", 1)),
-        lambda v: v != "")
-    delay_s = F.get(delays, 0).cast("int")  # first Crawl-delay wins
-
-    return robots.select(
-        F.col(host_col).alias("host"),
-        F.coalesce((delay_s * 1000).cast("int"),
-                   F.lit(default_delay_ms)).alias("crawl_delay_ms"),
-        _rule_values(sel, "disallow").alias("robots_disallow"),
-        _rule_values(sel, "allow").alias("robots_allow"),
+    delay_str = F.regexp_extract(F.col("line"),
+                                 r"(?i)^crawl-delay:[ \t]*([0-9]+)", 1)
+    pol = selected.groupBy("host").agg(
+        # first Crawl-delay wins: min (pos, value) struct orders by pos
+        F.min(F.when(delay_str != "",
+                     F.struct(F.col("pos").alias("pos"),
+                              delay_str.cast("int").alias("d"))))
+        .alias("__delay"),
+        _ordered_values(F.collect_list(F.when(
+            _rule_value("disallow").isNotNull(),
+            F.struct(F.col("pos").alias("pos"),
+                     _rule_value("disallow").alias("val")))))
+        .alias("robots_disallow"),
+        _ordered_values(F.collect_list(F.when(
+            _rule_value("allow").isNotNull(),
+            F.struct(F.col("pos").alias("pos"),
+                     _rule_value("allow").alias("val")))))
+        .alias("robots_allow"),
+    )
+    # hosts whose body selects no lines (empty file, or UA groups that match
+    # neither the agent nor *) still get a policy row with defaults
+    empty = F.array().cast("array<string>")
+    return hosts.join(pol, "host", "left").select(
+        "host",
+        F.coalesce(F.col("__delay")["d"] * 1000,
+                   F.lit(default_delay_ms)).cast("int").alias("crawl_delay_ms"),
+        F.coalesce("robots_disallow", empty).alias("robots_disallow"),
+        F.coalesce("robots_allow", empty).alias("robots_allow"),
         F.lit(DEFAULT_USER_AGENT).alias("user_agent"),
     )

@@ -164,11 +164,23 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     stored corpus, so a probe is a partition-pruned scan; the per-table
     candidate join broadcasts only (query, bucket) pairs. Recall vs brute
     force is pytest-gated.
+
+    Physical plan (explain_audit-pinned): the corpus side is EXPLODED into
+    one (t, b) row per table so the probe join is a two-column equi-key
+    BroadcastHashJoin — never a BroadcastNestedLoopJoin (an element_at(bt,
+    t+1) = b predicate referencing both sides extracts no equi-key and
+    degrades to a full-corpus nested loop). Cosine is computed map-side
+    right after the broadcast join, so the only exchanges downstream of the
+    scan carry (query_id, neighbor_id, cos) triples — vectors never shuffle.
     """
-    base = emb.select(
+    exploded = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
-        *[lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias(f"b{t}")
-          for t in range(n_tables)])
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias("b"))
+            for t in range(n_tables)])).alias("tb"),
+    ).select("neighbor_id", "n_vec",
+             F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     qb = queries.select(
         "query_id", "query_vec",
         *[lsh_bucket(F.col("query_vec"), dim, n_planes, table=t).alias(f"qb{t}")
@@ -184,18 +196,18 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
                         F.explode(F.array(*probes)).alias("pr"))
               .select("query_id", "query_vec",
                       F.col("pr.t").alias("t"), F.col("pr.b").alias("b")))
-    table_col = F.array(*[F.col(f"b{t}") for t in range(n_tables)])
-    j = (base.withColumn("bt", table_col)
-         .join(F.broadcast(qprobe),
-               F.expr("element_at(bt, t + 1) = b")
-               & (F.col("neighbor_id") != F.col("query_id")))
-         .select("query_id", "neighbor_id", "n_vec", "query_vec")
-         .dropDuplicates(["query_id", "neighbor_id"])
-         .withColumn("cos", cosine(F.col("n_vec"), F.col("query_vec"))))
+    # equi-keys (t, b) → BroadcastHashJoin; cosine computed before any
+    # exchange; multi-table duplicates collapse in a partial-agg groupBy
+    # (cos is identical across a pair's duplicates, so max == the value)
+    j = (exploded.alias("e")
+         .join(F.broadcast(qprobe).alias("q"),
+               (F.col("e.t") == F.col("q.t")) & (F.col("e.b") == F.col("q.b"))
+               & (F.col("e.neighbor_id") != F.col("q.query_id")))
+         .withColumn("cos", cosine(F.col("e.n_vec"), F.col("q.query_vec")))
+         .groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        j.select("query_id", "neighbor_id", "cos")
-        .withColumn("rank", F.row_number().over(w))
+        j.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id",
                 F.round("cos", 4).alias("cos_sim"))
@@ -304,23 +316,33 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
     pair is exact (verified), only misses are possible.
 
     At 10^10 vectors each table's bucket id is a partition/bucket column of
-    the stored corpus, so the per-table self-join is co-located."""
+    the stored corpus, so the per-table self-join is co-located.
+
+    Physical plan (explain_audit-pinned): candidate generation is ID-ONLY —
+    the corpus explodes into (id, t, b) rows (no vector column) and ONE
+    two-column equi-key self-join on (t, b) covers all tables (the same
+    exploded-piece pattern as textdedup.simhash_near_pairs); vectors join
+    back once per side only at the exact-verify step. No exchange in the
+    candidate stage carries an embedding — the round-2 shape (6 per-table
+    self-joins each shuffling full vectors on both sides) moved ~12 vector
+    copies per row per pass."""
     from .textdedup import cosine
 
     keyed = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        *[lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias(f"b{t}")
-          for t in range(n_tables)]).localCheckpoint(eager=False)
-    cand = None
-    for t in range(n_tables):
-        c = (keyed.alias("x").join(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias("b"))
+            for t in range(n_tables)])).alias("tb"),
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")) \
+        .localCheckpoint(eager=False)
+    cand = (keyed.alias("x").join(
                 keyed.alias("y"),
-                (F.col(f"x.b{t}") == F.col(f"y.b{t}"))
+                (F.col("x.t") == F.col("y.t")) & (F.col("x.b") == F.col("y.b"))
                 & (F.col("x.id") < F.col("y.id")))
-             .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id")))
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.distinct()
-    side = keyed.select("id", "v")
+            .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+            .distinct())
+    side = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (cand
             .join(side.select(F.col("id").alias("a_id"), F.col("v").alias("a_v")), "a_id")
             .join(side.select(F.col("id").alias("b_id"), F.col("v").alias("b_v")), "b_id")

@@ -198,9 +198,12 @@ def fingerprint_table(docs: DataFrame, text_col: str = "text",
 
 
 def keyword_search(docs: DataFrame, keyword: str,
-                   cols: tuple[str, ...] = ("title", "abstract")) -> DataFrame:
-    """P10 — LIKE-across-columns search (reference
-    src/database_manager.py:157-162)."""
+                   cols: tuple[str, ...] = ("title", "abstract",
+                                            "keywords_csv")) -> DataFrame:
+    """P10 — LIKE-across-columns search. The default column set matches the
+    reference's three search columns (src/database_manager.py:157-162:
+    title OR abstract OR keywords), so a default call has reference
+    semantics; pass ``cols`` to narrow."""
     pred = None
     for c in cols:
         p = F.col(c).contains(keyword)

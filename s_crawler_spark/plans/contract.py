@@ -227,6 +227,30 @@ SQL_CRAWL_TOPK = (
     "(SELECT *, row_number() OVER (ORDER BY seq) AS rn FROM cards) WHERE rn <= 50")
 
 
+def q_recency_topk(spark, sf_dir):
+    """T3: recency sort — newest-first catalog listing (reference
+    src/database_manager.py:160-162, ORDER BY created_at DESC LIMIT n) as a
+    TakeOrdered over the deduped candidate set (no global sort).
+    publication_date ties and NULLs ("Vol N" dates) break deterministically
+    by seq, NULLS LAST on both engines."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    return (fresh
+            .orderBy(F.desc_nulls_last("publication_date"), F.asc("seq"))
+            .limit(50)
+            .select("seq", "doi", "title", "publication_date"))
+
+
+SQL_RECENCY_TOPK = f"""
+WITH {D_CTE},
+r AS (SELECT seq, doi, title, publication_date,
+             row_number() OVER (ORDER BY publication_date DESC NULLS LAST, seq) AS rn
+      FROM d)
+SELECT seq, doi, title, publication_date FROM r WHERE rn <= 50
+"""
+
+
 def q_frontier_enqueue(spark, sf_dir):
     """S8-analogue: deduped candidates → pending frontier rows with host,
     crawl-order seq, retry bookkeeping columns."""
@@ -988,6 +1012,35 @@ def q_simhash_near_pairs(spark, sf_dir):
     return td.simhash_near_pairs(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
 
 
+def q_dedup_agreement(spark, sf_dir):
+    """Cross-operator pin: SimHash hamming-≤2 adjacency vs MinHash+LSH
+    Jaccard-≥0.7 pairs on the same doc slice, as one full-outer-joined
+    membership table — ties the two near-dup ladders' semantics to each
+    other (both constructions are deterministic, so the oracle composes
+    their exact SQL replays)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    sh = td.simhash_near_pairs(docs).select(
+        "a_id", "b_id", F.lit(True).alias("in_simhash"))
+    mh = td.minhash_lsh_pairs(docs, threshold=0.7).select(
+        "a_id", "b_id", F.lit(True).alias("in_minhash"))
+    return (sh.join(mh, ["a_id", "b_id"], "full_outer")
+            .select("a_id", "b_id",
+                    F.coalesce("in_simhash", F.lit(False)).alias("in_simhash"),
+                    F.coalesce("in_minhash", F.lit(False)).alias("in_minhash")))
+
+
+def _sql_dedup_agreement() -> str:
+    return f"""
+WITH sh AS ({_sql_simhash_near_pairs()}),
+mh AS ({_sql_minhash()})
+SELECT coalesce(sh.a_id, mh.a_id) AS a_id,
+       coalesce(sh.b_id, mh.b_id) AS b_id,
+       sh.a_id IS NOT NULL AS in_simhash,
+       mh.a_id IS NOT NULL AS in_minhash
+FROM sh FULL OUTER JOIN mh ON sh.a_id = mh.a_id AND sh.b_id = mh.b_id
+"""
+
+
 def q_media_frames(spark, sf_dir):
     """Frame sampling over video payloads (row-multiplying mapInPandas;
     deterministic byte-slicing stub — pure arithmetic, so SQL-checkable)."""
@@ -1206,6 +1259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_cards": q_search_cards,
     "cards_dedup_first": q_cards_dedup_first,
     "crawl_topk": q_crawl_topk,
+    "recency_topk": q_recency_topk,
     "frontier_enqueue": q_frontier_enqueue,
     "frontier_fifo": q_frontier_fifo,
     "host_skew_stats": q_host_skew_stats,
@@ -1245,6 +1299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "dedup_agreement": q_dedup_agreement,
     "media_frames": q_media_frames,
     "multiwave_crawl": q_multiwave_crawl,
 }
@@ -1256,6 +1311,7 @@ def build_oracles() -> dict[str, str]:
         "search_cards": SQL_SEARCH_CARDS,
         "cards_dedup_first": SQL_CARDS_DEDUP_FIRST,
         "crawl_topk": SQL_CRAWL_TOPK,
+        "recency_topk": SQL_RECENCY_TOPK,
         "frontier_enqueue": SQL_FRONTIER_ENQUEUE,
         "frontier_fifo": SQL_FRONTIER_FIFO,
         "host_skew_stats": SQL_HOST_SKEW,
@@ -1295,6 +1351,7 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         "ann_lsh_near_dup": _sql_ann_lsh_near_dup(),
         "simhash_near_pairs": _sql_simhash_near_pairs(),
+        "dedup_agreement": _sql_dedup_agreement(),
         "media_frames": SQL_MEDIA_FRAMES,
         "multiwave_crawl": SQL_MULTIWAVE,
     }

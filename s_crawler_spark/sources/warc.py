@@ -50,15 +50,22 @@ def warc_record(url: str, ts: datetime, payload: bytes) -> bytes:
     return hdr + payload + b"\r\n\r\n"
 
 
-def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes]]:
-    """Length-driven WARC record scan → [(url, ts, payload)].
+def parse_warc_full(blob: bytes) -> tuple[list[tuple[str, datetime, bytes]], dict]:
+    """Length-driven WARC record scan → ([(url, ts, payload)], stats).
 
-    Accepts any WARC/1.x version line. Records without a WARC-Target-URI
+    Accepts any WARC/1.x version line. Header lines split on the first
+    ``:`` with the value left-trimmed (real segments contain both
+    ``key: value`` and ``key:value``). Records without a WARC-Target-URI
     (warcinfo, metadata — every real Common-Crawl segment starts with a
-    warcinfo record) or that aren't ``response``-typed are skipped, but
-    their Content-Length still advances the scan — skipping is never
-    guessing at boundaries."""
+    warcinfo record), without a parseable WARC-Date, or that aren't
+    ``response``-typed are SKIPPED, never raised on — their Content-Length
+    still advances the scan, so skipping is never guessing at boundaries.
+    Only a record with no parseable Content-Length stops the scan (the
+    stream is unframed past it); the stats dict surfaces that truncation
+    (``trailing_bytes`` > 0) instead of hiding it, plus ``n_records`` and
+    ``n_skipped`` counts."""
     out = []
+    n_skipped = 0
     pos, n = 0, len(blob)
     while pos < n:
         if not blob.startswith(b"WARC/1.", pos):
@@ -68,8 +75,8 @@ def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes]]:
             break
         headers = {}
         for line in blob[pos:he].decode("utf-8", errors="replace").split("\r\n")[1:]:
-            k, _, v = line.partition(": ")
-            headers[k.lower()] = v
+            k, _, v = line.partition(":")
+            headers[k.lower()] = v.lstrip(" \t")
         try:
             ln = int(headers["content-length"])
         except (KeyError, ValueError):
@@ -77,12 +84,25 @@ def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes]]:
         body = blob[he + 4:he + 4 + ln]
         url = headers.get("warc-target-uri")
         rtype = headers.get("warc-type", "response")
+        ts = None
         if url is not None and rtype == "response":
-            out.append((url,
-                        datetime.strptime(headers["warc-date"], WARC_TS_FMT),
-                        body))
+            try:
+                ts = datetime.strptime(headers.get("warc-date", ""), WARC_TS_FMT)
+            except ValueError:
+                ts = None  # date-less/garbled response: skip, don't fail task
+        if ts is not None:
+            out.append((url, ts, body))
+        else:
+            n_skipped += 1
         pos = he + 4 + ln + 4
-    return out
+    stats = {"n_records": len(out), "n_skipped": n_skipped,
+             "trailing_bytes": max(0, n - pos)}
+    return out, stats
+
+
+def parse_warc(blob: bytes) -> list[tuple[str, datetime, bytes]]:
+    """parse_warc_full without the stats (compat surface)."""
+    return parse_warc_full(blob)[0]
 
 
 def _write_kernel(out_dir: str):
@@ -131,8 +151,37 @@ def _read_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """``*.warc`` segments → pages rows (text/lang NULL; the crawl plans
-    read only url/warc_ts/html)."""
+    read only url/warc_ts/html). Malformed records are skipped, truncated
+    segments parse up to the break — run ``read_warc_stats`` over the same
+    path to audit skips/truncation per segment."""
     blobs = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc").load(path)
              .select("content"))
     return blobs.mapInPandas(_read_kernel, schema=PAGES_SCHEMA)
+
+
+READ_STATS_SCHEMA = ("path string, n_records long, n_skipped long, "
+                     "trailing_bytes long")
+
+
+def _stats_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {"path": [], "n_records": [], "n_skipped": [],
+                "trailing_bytes": []}
+        for path, blob in zip(pdf["path"], pdf["content"]):
+            _, st = parse_warc_full(bytes(blob))
+            rows["path"].append(path)
+            rows["n_records"].append(st["n_records"])
+            rows["n_skipped"].append(st["n_skipped"])
+            rows["trailing_bytes"].append(st["trailing_bytes"])
+        yield pd.DataFrame(rows)
+
+
+def read_warc_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-segment parse audit: (path, n_records, n_skipped,
+    trailing_bytes). trailing_bytes > 0 ⇒ the segment is truncated or
+    carries an unframed record — surfaced data, not a silent drop."""
+    blobs = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc").load(path)
+             .select("path", "content"))
+    return blobs.mapInPandas(_stats_kernel, schema=READ_STATS_SCHEMA)

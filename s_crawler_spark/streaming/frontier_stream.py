@@ -136,11 +136,15 @@ _STATE_SCHEMA = T.StructType([
 ])
 
 
-def _make_admission_fn(crawl_delay_ms: int, burst: int):
-    rate = 1000.0 / crawl_delay_ms  # tokens per second
+def _make_admission_fn(crawl_delay_ms: int, burst: int,
+                       host_delays: dict[str, int] | None = None):
+    delays = dict(host_delays or {})
 
     def admit(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (host,) = key
+        # per-host accrual rate from the broadcast policy (parity with
+        # compose_wave: each host earns tokens at 1000/its own delay)
+        rate = 1000.0 / delays.get(host, crawl_delay_ms)
         if state.exists:
             tokens, last_epoch = state.get
         else:
@@ -166,15 +170,31 @@ def _make_admission_fn(crawl_delay_ms: int, burst: int):
 
 def politeness_admission(discoveries: DataFrame,
                          crawl_delay_ms: int = 1000,
-                         burst: int = 60) -> DataFrame:
+                         burst: int = 60,
+                         host_policy: DataFrame | dict[str, int] | None = None,
+                         ) -> DataFrame:
     """Stateful per-host token-bucket admission (the streaming form of
     compose_wave's per-host budget; reference politeness sleeps
-    src/pdf_processor.py:213-217 re-expressed as admission control)."""
+    src/pdf_processor.py:213-217 re-expressed as admission control).
+
+    ``host_policy`` carries per-host crawl delays — a {host: delay_ms}
+    mapping or the batch host_policy table (host, crawl_delay_ms, ...);
+    hosts absent from it accrue at the default ``crawl_delay_ms``. A
+    DataFrame policy is collected once on the driver: it is the same tiny
+    broadcast dimension compose_wave broadcasts (J4), never frontier-sized,
+    and the mapping ships to state tasks inside the admission closure."""
+    host_delays: dict[str, int] | None
+    if isinstance(host_policy, DataFrame):
+        host_delays = {r["host"]: r["crawl_delay_ms"]
+                       for r in host_policy.select(
+                           "host", "crawl_delay_ms").collect()}
+    else:
+        host_delays = host_policy
     return (
         discoveries.filter(F.col("status") == "pending")
         .groupBy("host")
         .applyInPandasWithState(
-            _make_admission_fn(crawl_delay_ms, burst),
+            _make_admission_fn(crawl_delay_ms, burst, host_delays),
             outputStructType=ADMIT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

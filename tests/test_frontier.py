@@ -87,6 +87,25 @@ def test_compose_wave_budget_caps_per_host(spark):
     assert sorted(h0) == all_h0[:4]
 
 
+def test_compose_wave_zipf_head_bounded(spark):
+    """10^6-row single-host frontier (the Zipf-head shape): two-phase
+    admission still returns exactly the budget-first rows by (priority,
+    seq) — local pruning is prefix-stable — while the global per-host
+    window's input is bounded to budget × partitions rows (plan pin in
+    tools/explain_audit.py)."""
+    n = 1_000_000
+    pending = (spark.range(n).repartition(8)
+               .select(F.lit("head.org").alias("host"),
+                       F.concat(F.lit("https://head.org/p/"),
+                                F.col("id")).alias("url"),
+                       F.lit(0).alias("priority"),
+                       F.col("id").alias("seq")))
+    policy = po.default_host_policy(spark, ["head.org"], crawl_delay_ms=1000)
+    batch = po.compose_wave(pending, policy, wave_seconds=60)  # budget 60
+    got = sorted(r["seq"] for r in batch.collect())
+    assert got == list(range(60))
+
+
 def test_compose_wave_robots_disallow(spark):
     frontier = fr.enqueue(make_candidates(spark, 9), wave=0, logical_now=T0)
     policy = spark.createDataFrame(

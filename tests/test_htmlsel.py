@@ -133,3 +133,18 @@ def test_selectors_survive_bare_attributes():
     assert find_element(root, "[disabled]").text == "z"  # presence matches bare
     assert find_element(root, "[data-x='']").text == "w"
     assert find_elements(root, "span[disabled='']")      # bare compares as ''
+
+
+def test_attrs_cache_is_read_only():
+    """The memoized attrs mapping is shared across every element with the
+    same attrs string; mutation must raise instead of silently corrupting
+    unrelated elements/documents parsed in the same worker."""
+    import pytest
+    root = hs.parse_html('<div class="card">a</div><div class="card">b</div>')
+    a, b = hs.find_elements(root, "div.card")
+    assert a.attrs is b.attrs or dict(a.attrs) == dict(b.attrs)
+    with pytest.raises(TypeError):
+        a.attrs["class"] = "mutated"
+    with pytest.raises((TypeError, AttributeError)):
+        a.attrs.pop("class")
+    assert b.attrs["class"] == "card"

@@ -79,6 +79,44 @@ def test_politeness_admission_budget(spark, frontier_dir, tmp_path):
         assert sorted(grp["seq"].tolist()) == expect
 
 
+def test_politeness_admission_per_host_policy(spark, tmp_path):
+    """Per-host policy rates (parity with compose_wave): two hosts with the
+    same availability but different crawl delays admit different counts —
+    both admit `burst` in batch 1; over the 600 s to batch 2 the 1 s-delay
+    host accrues 600 tokens (capped at burst=3) while the 300 s-delay host
+    accrues only 2."""
+    import datetime as dt
+    root = tmp_path / "snaps"
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    t1 = t0 + dt.timedelta(seconds=600)
+
+    def rows(ts, wave, seq0):
+        out = []
+        for h in ("fast.org", "slow.org"):
+            for i in range(10):
+                out.append((f"https://{h}/{wave}/{i}", None, h, 0, wave,
+                            seq0 + i, "pending", 0, None, ts, ts))
+        return out
+
+    spark.createDataFrame(rows(t0, 0, 0), fs.FRONTIER_STREAM_SCHEMA) \
+        .coalesce(1).write.parquet(str(root / "wave=0"))
+    spark.createDataFrame(rows(t1, 1, 100), fs.FRONTIER_STREAM_SCHEMA) \
+        .coalesce(1).write.parquet(str(root / "wave=1"))
+    src = fs.stream_discoveries(spark, str(root), max_files_per_trigger=1)
+    admitted = fs.politeness_admission(
+        src, crawl_delay_ms=1000, burst=3,
+        host_policy={"slow.org": 300_000})
+    q = (admitted.writeStream.format("parquet")
+         .option("path", str(tmp_path / "adm2"))
+         .option("checkpointLocation", str(tmp_path / "adm2_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "adm2"))
+    per_host = {r["host"]: r["count"]
+                for r in out.groupBy("host").count().collect()}
+    assert per_host == {"fast.org": 6, "slow.org": 5}
+
+
 def test_dedup_discoveries_first_occurrence(spark, frontier_dir, tmp_path):
     """Within-watermark streaming dedup: each url_hash appears once, and the
     survivor is the MIN-seq row (first occurrence in crawl order), even

@@ -81,6 +81,20 @@ def test_keyword_search(spark):
     assert got == {0, 1}
 
 
+def test_keyword_search_default_matches_reference_columns(spark):
+    """The DEFAULT call searches all three reference columns (title OR
+    abstract OR keywords, src/database_manager.py:157-162) — a doc matched
+    only through its keywords_csv must be found without passing cols."""
+    df = spark.createDataFrame(
+        [(0, "alpha keys", "nothing", None),
+         (1, "beta", "has key inside", None),
+         (2, "gamma", "none", "keyhole, optics"),
+         (3, "delta", "none", "plasma")],
+        "doc_id long, title string, abstract string, keywords_csv string")
+    got = {r["doc_id"] for r in ts.keyword_search(df, "key").collect()}
+    assert got == {0, 1, 2}
+
+
 def test_chunk_table_spans(spark):
     text = " ".join(f"w{i}" for i in range(80))
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")

@@ -62,6 +62,41 @@ def test_parse_warc_real_world_shapes(tmp_path):
     assert [(u, p) for u, _, p in recs] == [("https://a/1", b"payload")]
 
 
+def test_parse_warc_malformed_records(tmp_path):
+    """Damaged real-world segments must not fail the task or silently drop
+    the remainder: a response missing WARC-Date is skipped (its length still
+    advances the scan), 'key:value' headers without the space parse, and a
+    record with no Content-Length surfaces as trailing_bytes truncation."""
+    from datetime import datetime
+    dateless_body = b"no date here"
+    dateless = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://a/bad\r\n"
+                + f"Content-Length: {len(dateless_body)}\r\n\r\n".encode()
+                + dateless_body + b"\r\n\r\n")
+    tight_body = b"tight"
+    tight = (b"WARC/1.0\r\nWARC-Type:response\r\n"        # no space after :
+             b"WARC-Target-URI:https://a/tight\r\n"
+             b"WARC-Date:2024-01-03T00:00:00Z\r\n"
+             + f"Content-Length:{len(tight_body)}\r\n\r\n".encode()
+             + tight_body + b"\r\n\r\n")
+    ok = wc.warc_record("https://a/ok", datetime(2024, 1, 2), b"fine")
+    unframed = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://a/cut\r\n\r\nrest...")
+    recs, stats = wc.parse_warc_full(dateless + tight + ok + unframed)
+    assert [(u, p) for u, _, p in recs] == \
+        [("https://a/tight", tight_body), ("https://a/ok", b"fine")]
+    assert stats["n_skipped"] == 1                 # the dateless response
+    assert stats["trailing_bytes"] == len(unframed)  # surfaced, not silent
+
+
+def test_read_warc_stats(spark, pages, tmp_path):
+    out = str(tmp_path / "segments")
+    n = wc.write_warc(pages, out)
+    st = wc.read_warc_stats(spark, out).collect()
+    assert sum(r["n_records"] for r in st) == n
+    assert all(r["n_skipped"] == 0 and r["trailing_bytes"] == 0 for r in st)
+
+
 def test_write_warc_removes_stale_segments(spark, pages, tmp_path):
     out = str(tmp_path / "seg")
     wc.write_warc(pages, out)                      # many partitions

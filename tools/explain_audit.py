@@ -147,6 +147,60 @@ def main() -> int:
          "CartesianProduct" not in p4 and "BroadcastNestedLoopJoin" not in p4),
     ])
 
+    # ---- ANN plans: every bucketed path must be an equi-key join ---------
+    from s_crawler_spark.operators import similarity as sim
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    for name, df in [
+        ("ann_lsh_topk", sim.lsh_topk(emb, queries, k=5, dim=64)),
+        ("ann_ivf_topk", sim.ivf_topk(emb, queries, k=5, dim=64)),
+        ("ann_lsh_near_dup", sim.lsh_near_dup_pairs(emb, 0.4, dim=64)),
+    ]:
+        pa = plan_of(df)
+        checks = [
+            ("no BroadcastNestedLoopJoin/CartesianProduct in the ANN plan",
+             "BroadcastNestedLoopJoin" not in pa
+             and "CartesianProduct" not in pa),
+        ]
+        if name == "ann_lsh_near_dup":
+            # candidate generation is id-only: no Exchange may carry an
+            # embedding/vector column alongside candidate ids (vectors join
+            # back only at the exact-verify step, keyed on a bare id)
+            vec_ok = True
+            for block in re.split(r"\n\n", pa):
+                first = block.splitlines()[0] if block.strip() else ""
+                if re.match(r"\(\d+\) Exchange", first.strip()):
+                    m_in = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+                    cols = {c.split("#")[0].strip()
+                            for c in m_in.group(1).split(",")} if m_in else set()
+                    if ({"v", "embedding", "a_v", "b_v", "n_vec", "query_vec"}
+                            & cols) and ({"t", "b", "a_id", "b_id"} & cols):
+                        vec_ok = False
+            checks.append(
+                ("no Exchange carries vectors alongside candidate keys",
+                 vec_ok))
+        all_ok &= audit(name, pa, checks)
+
+    # ---- politeness admission: two-phase bounded top-k -------------------
+    from s_crawler_spark.operators import frontier as frn
+    from s_crawler_spark.operators import politeness as po
+    cand2 = wv.collect_candidates(pages, seed_search_url())
+    from s_crawler_spark.operators import dedup as ddp
+    pend = frn.enqueue(ddp.first_occurrence(cand2, "doi", "seq"), wave=0,
+                       logical_now="2024-06-01 00:00:00")
+    policy = po.default_host_policy(
+        spark, pend.select("host").distinct(), crawl_delay_ms=1000)
+    p7 = plan_of(po.compose_wave(pend, policy, wave_seconds=60))
+    n_windows = len(re.findall(r"\(\d+\) Window", p7))
+    all_ok &= audit("compose_wave (two-phase admission)", p7, [
+        ("local (host, partition) pre-rank bounds the global window's input "
+         "(two Window nodes, __lrank prune present)",
+         n_windows >= 2 and "__lrank" in p7),
+        ("no global sort in admission", "rangepartitioning" not in p7.lower()),
+    ])
+
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
     return 0 if all_ok else 1
 
