@@ -119,6 +119,10 @@ def main() -> None:
           lambda: _noop_write(sim.ivf_topk(emb, _queries_df(), k=10, dim=64)))
     bench("ann_topk_vectorized",
           lambda: _noop_write(sim.topk_vectorized(emb, _queries_df(), k=10)))
+    bench("ann_lsh_topk",
+          lambda: _noop_write(sim.lsh_topk(emb, _queries_df(), k=10, dim=64)))
+    bench("ann_lsh_near_dup",
+          lambda: _noop_write(sim.lsh_near_dup_pairs(emb, 0.4, dim=64)))
 
     total = round(sum(timings.values()), 3)
     wave_s = timings.get("crawl_wave")

@@ -123,6 +123,19 @@ def topk_vectorized(emb: DataFrame, queries: DataFrame, k: int = 5,
 # Random-hyperplane LSH (deterministic planes — no RNG at plan time)
 # --------------------------------------------------------------------------
 
+# Bucketing has two implementations with BIT-IDENTICAL output:
+# - lsh_bucket: the definitional JVM column expression (aggregate fold);
+# - _exploded_buckets_arrow: one Arrow pass that accumulates each plane dot
+#   LEFT-TO-RIGHT per dimension in float64 (numpy elementwise ops are
+#   correctly-rounded IEEE doubles, applied in the same order as the JVM
+#   fold and the DuckDB list_reduce oracle), so every dot — and therefore
+#   every bucket sign — is the same bit pattern. The fold form pays ~1.5k
+#   interpreted lambda evaluations per row (24 planes × 64 dims); the Arrow
+#   form does 24 × 64 vectorized ops per BATCH. At rest the buckets are the
+#   stored table's partition columns (ingest-time cost); these paths price
+#   ad-hoc bucketing.
+
+
 def _plane(plane_idx: int, dim: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random unit hyperplane derived from md5 — the
     same planes regenerate on every executor/run with no shared state."""
@@ -147,9 +160,92 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8,
     return out
 
 
+def _fold_dots(vm, mats):
+    """Per-row dots against each of ``mats``'s vectors, accumulated
+    left-to-right per dimension — the same op order as the JVM fold and the
+    DuckDB list_reduce oracle, so results are bit-identical doubles."""
+    import numpy as np
+    out = np.zeros((len(mats), vm.shape[0]), dtype=np.float64)
+    for j, plane in enumerate(mats):
+        acc = np.zeros(vm.shape[0], dtype=np.float64)
+        for d in range(vm.shape[1]):
+            acc = acc + vm[:, d] * plane[d]
+        out[j] = acc
+    return out
+
+
+def _exploded_buckets_arrow(emb: DataFrame, dim: int, n_planes: int,
+                            n_tables: int, id_col: str, vec_col: str,
+                            out_id: str, include_vec: bool) -> DataFrame:
+    """(id[, vec], t, b) rows — one Arrow pass, narrow (no exchange), signs
+    bit-identical to lsh_bucket (see module note). The vector column, when
+    included, is passed through untouched so downstream map-side cosine
+    uses the original values."""
+    import pandas as pd
+    planes = [[_plane(p, dim, t) for p in range(n_planes)]
+              for t in range(n_tables)]
+    flat = [pl for tbl in planes for pl in tbl]
+    schema = f"{out_id} long, " + \
+        (f"n_vec array<float>, " if include_vec else "") + "t int, b long"
+
+    def kernel(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dots = _fold_dots(vm, flat)  # (T*P, n)
+            for t in range(n_tables):
+                b = np.zeros(len(pdf), dtype=np.int64)
+                for p in range(n_planes):
+                    b += (dots[t * n_planes + p] >= 0).astype(np.int64) << p
+                cols = {out_id: pdf[id_col].to_numpy()}
+                if include_vec:
+                    cols["n_vec"] = pdf[vec_col]
+                cols["t"] = t
+                cols["b"] = b
+                yield pd.DataFrame(cols)
+
+    return emb.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def _with_cosine_arrow(df: DataFrame, a_col: str, b_col: str,
+                       keep: list[tuple[str, str]]) -> DataFrame:
+    """Append ``cos`` = cosine(a_col, b_col) in one Arrow pass, keeping the
+    ``keep`` (name, sql_type) columns. Bit-identical to the JVM ``cosine``
+    expression: dot and both norms accumulate left-to-right per dimension
+    in float64 (every elementwise op correctly rounded, same order as the
+    fold and the DuckDB list_reduce oracle), then sqrt·sqrt and one divide
+    in the same association as l2_norm(a) * l2_norm(b)."""
+    import pandas as pd
+    schema = ", ".join(f"{n} {t}" for n, t in keep) + ", cos double"
+    names = [n for n, _ in keep]
+
+    def kernel(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.array(list(pdf[a_col]), dtype=np.float64)
+            vb = np.array(list(pdf[b_col]), dtype=np.float64)
+            dot = np.zeros(len(pdf))
+            na = np.zeros(len(pdf))
+            nb = np.zeros(len(pdf))
+            for d in range(va.shape[1]):
+                dot = dot + va[:, d] * vb[:, d]
+                na = na + va[:, d] * va[:, d]
+                nb = nb + vb[:, d] * vb[:, d]
+            out = {n: pdf[n] for n in names}
+            out["cos"] = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema)
+
+
 def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              n_planes: int = 4, n_tables: int = 6, n_probes: int = 2,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             arrow: bool = True) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
     Standard L-tables×k-planes construction: a neighbor is a candidate if it
@@ -172,15 +268,26 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     degrades to a full-corpus nested loop). Cosine is computed map-side
     right after the broadcast join, so the only exchanges downstream of the
     scan carry (query_id, neighbor_id, cos) triples — vectors never shuffle.
+
+    ``arrow=True`` (default) computes corpus buckets in one Arrow pass,
+    bit-identical to the JVM fold (module note); ``arrow=False`` keeps the
+    pure-column-expression form (the definitional baseline the tests
+    cross-check).
     """
-    exploded = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias("b"))
-            for t in range(n_tables)])).alias("tb"),
-    ).select("neighbor_id", "n_vec",
-             F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    if arrow:
+        exploded = _exploded_buckets_arrow(
+            emb, dim, n_planes, n_tables, id_col, vec_col,
+            out_id="neighbor_id", include_vec=True)
+    else:
+        exploded = emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec"),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("t"),
+                         lsh_bucket(F.col(vec_col), dim, n_planes,
+                                    table=t).alias("b"))
+                for t in range(n_tables)])).alias("tb"),
+        ).select("neighbor_id", "n_vec",
+                 F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     qb = queries.select(
         "query_id", "query_vec",
         *[lsh_bucket(F.col("query_vec"), dim, n_planes, table=t).alias(f"qb{t}")
@@ -199,12 +306,20 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     # equi-keys (t, b) → BroadcastHashJoin; cosine computed before any
     # exchange; multi-table duplicates collapse in a partial-agg groupBy
     # (cos is identical across a pair's duplicates, so max == the value)
-    j = (exploded.alias("e")
-         .join(F.broadcast(qprobe).alias("q"),
-               (F.col("e.t") == F.col("q.t")) & (F.col("e.b") == F.col("q.b"))
-               & (F.col("e.neighbor_id") != F.col("q.query_id")))
-         .withColumn("cos", cosine(F.col("e.n_vec"), F.col("q.query_vec")))
-         .groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos")))
+    matched = (exploded.alias("e")
+               .join(F.broadcast(qprobe).alias("q"),
+                     (F.col("e.t") == F.col("q.t"))
+                     & (F.col("e.b") == F.col("q.b"))
+                     & (F.col("e.neighbor_id") != F.col("q.query_id"))))
+    if arrow:
+        scored = _with_cosine_arrow(
+            matched.select("query_id", "neighbor_id", "n_vec", "query_vec"),
+            "n_vec", "query_vec",
+            [("query_id", "long"), ("neighbor_id", "long")])
+    else:
+        scored = matched.withColumn(
+            "cos", cosine(F.col("e.n_vec"), F.col("q.query_vec")))
+    j = scored.groupBy("query_id", "neighbor_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         j.withColumn("rank", F.row_number().over(w))
@@ -248,9 +363,35 @@ def ivf_cell(vec: Column, dim: int, n_cells: int) -> Column:
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def _ivf_cells_arrow(emb: DataFrame, dim: int, n_cells: int,
+                     id_col: str, vec_col: str) -> DataFrame:
+    """(neighbor_id, n_vec, cell) via one Arrow pass; argmax over dots that
+    are bit-identical to the JVM fold (np.argmax and array_position both
+    take the FIRST maximum, so ties break the same way)."""
+    import pandas as pd
+    cents = [_centroid(c, dim) for c in range(n_cells)]
+
+    def kernel(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            dots = _fold_dots(vm, cents)  # (C, n)
+            yield pd.DataFrame({
+                "neighbor_id": pdf[id_col].to_numpy(),
+                "n_vec": pdf[vec_col],
+                "cell": np.argmax(dots, axis=0).astype(np.int32),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, "neighbor_id long, n_vec array<float>, cell int")
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
              n_cells: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             arrow: bool = True) -> DataFrame:
     """Approximate top-k via IVF: assign every vector to its nearest
     deterministic centroid, probe each query's ``n_probe`` best cells,
     exact cosine re-rank within the probed cells.
@@ -259,10 +400,16 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
     is an ``n_probe``-partition pruned scan touching ~n_probe/n_cells of
     the corpus; the query-side probe list is a broadcast. Recall vs brute
     force is pytest-gated; the whole construction (centroids, assignment,
-    probe order, re-rank) is deterministic and oracle-checked in SQL."""
-    base = emb.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("n_vec"),
-                      ivf_cell(F.col(vec_col), dim, n_cells).alias("cell"))
+    probe order, re-rank) is deterministic and oracle-checked in SQL.
+    ``arrow=True`` (default) assigns corpus cells in one Arrow pass,
+    bit-identical to the JVM fold (module note); the query-side probe
+    ranking stays a column expression (queries are the tiny side)."""
+    if arrow:
+        base = _ivf_cells_arrow(emb, dim, n_cells, id_col, vec_col)
+    else:
+        base = emb.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("n_vec"),
+                          ivf_cell(F.col(vec_col), dim, n_cells).alias("cell"))
     cents = F.array(*[
         F.array(*[F.lit(v) for v in _centroid(c, dim)])
         for c in range(n_cells)])
@@ -281,11 +428,18 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5, dim: int = 64,
         "query_id", "query_vec",
         F.explode(F.transform(F.slice(ranked, 1, n_probe),
                               lambda s: s["cell"])).alias("cell"))
-    j = (base.alias("b")
-         .join(F.broadcast(probes.alias("p")),
-               (F.col("b.cell") == F.col("p.cell"))
-               & (F.col("b.neighbor_id") != F.col("p.query_id")))
-         .withColumn("cos", cosine(F.col("b.n_vec"), F.col("p.query_vec"))))
+    matched = (base.alias("b")
+               .join(F.broadcast(probes.alias("p")),
+                     (F.col("b.cell") == F.col("p.cell"))
+                     & (F.col("b.neighbor_id") != F.col("p.query_id"))))
+    if arrow:
+        j = _with_cosine_arrow(
+            matched.select("query_id", "neighbor_id", "n_vec", "query_vec"),
+            "n_vec", "query_vec",
+            [("query_id", "long"), ("neighbor_id", "long")])
+    else:
+        j = matched.withColumn(
+            "cos", cosine(F.col("b.n_vec"), F.col("p.query_vec")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         j.select("query_id", "neighbor_id", "cos")
@@ -308,7 +462,8 @@ def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
 def lsh_near_dup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
                        n_planes: int = 4, n_tables: int = 6,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       arrow: bool = True) -> DataFrame:
     """Embedding near-dup pairs, scale path: multi-table LSH bucket
     self-join generates candidates (no all-pairs stage), exact cosine
     verifies. Approximate — recall vs the brute-force operator
@@ -328,14 +483,20 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
     copies per row per pass."""
     from .textdedup import cosine
 
-    keyed = emb.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     lsh_bucket(F.col(vec_col), dim, n_planes, table=t).alias("b"))
-            for t in range(n_tables)])).alias("tb"),
-    ).select("id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")) \
-        .localCheckpoint(eager=False)
+    if arrow:
+        keyed = _exploded_buckets_arrow(
+            emb, dim, n_planes, n_tables, id_col, vec_col,
+            out_id="id", include_vec=False).localCheckpoint(eager=False)
+    else:
+        keyed = emb.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("t"),
+                         lsh_bucket(F.col(vec_col), dim, n_planes,
+                                    table=t).alias("b"))
+                for t in range(n_tables)])).alias("tb"),
+        ).select("id", F.col("tb.t").alias("t"), F.col("tb.b").alias("b")) \
+            .localCheckpoint(eager=False)
     cand = (keyed.alias("x").join(
                 keyed.alias("y"),
                 (F.col("x.t") == F.col("y.t")) & (F.col("x.b") == F.col("y.b"))
@@ -343,9 +504,17 @@ def lsh_near_dup_pairs(emb: DataFrame, threshold: float, dim: int = 64,
             .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
             .distinct())
     side = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    return (cand
-            .join(side.select(F.col("id").alias("a_id"), F.col("v").alias("a_v")), "a_id")
-            .join(side.select(F.col("id").alias("b_id"), F.col("v").alias("b_v")), "b_id")
-            .withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
+    hydrated = (cand
+                .join(side.select(F.col("id").alias("a_id"),
+                                  F.col("v").alias("a_v")), "a_id")
+                .join(side.select(F.col("id").alias("b_id"),
+                                  F.col("v").alias("b_v")), "b_id"))
+    if arrow:
+        verified = _with_cosine_arrow(
+            hydrated, "a_v", "b_v", [("a_id", "long"), ("b_id", "long")])
+    else:
+        verified = hydrated.withColumn(
+            "cos", cosine(F.col("a_v"), F.col("b_v")))
+    return (verified
             .filter(F.col("cos") >= threshold)
             .select("a_id", "b_id", F.round("cos", 4).alias("cos_sim")))

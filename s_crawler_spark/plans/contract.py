@@ -27,6 +27,7 @@ from ..corpus import (CARDS_PER_PAGE, DUP_CARRYOVER, MONTHS, SUBJECTS,
                       seed_search_url, synthesize_pages)
 from ..functions import scalars
 from ..functions.texthash import MERSENNE_31, perm_coeffs
+from ..operators import corpusops as co
 from ..operators import dedup as dd
 from ..operators import frontier as fr
 from ..operators import multimodal as mm
@@ -882,6 +883,78 @@ SELECT doc_id, clean_text, clean_text <> dirty AS was_scrubbed FROM s
 """
 
 
+def q_quality_quantiles(spark, sf_dir):
+    """Exact distributed quantiles of the integer quality score by counting
+    (threshold selection for corpus filtering): histogram bounded by the
+    score domain, never by corpus size — the only data-sized op is one
+    partial-agg groupBy."""
+    return co.score_quantiles(ts.quality_table(_docs(spark, sf_dir)))
+
+
+def _sql_quality_quantiles() -> str:
+    qs = ", ".join(str(q) for q in co.DEFAULT_QUANTILES_BP)
+    return f"""
+WITH qt AS ({_sql_text_quality()}),
+h AS (SELECT quality_score_bp AS s, count(*) AS n FROM qt GROUP BY 1),
+c AS (SELECT s, sum(n) OVER (ORDER BY s)::BIGINT AS cum,
+             sum(n) OVER ()::BIGINT AS total FROM h),
+qs AS (SELECT unnest([{qs}])::INT AS q_bp)
+SELECT q_bp, min(s) AS score_at_q
+FROM c JOIN qs ON cum * 10000 >= q_bp::BIGINT * total
+GROUP BY q_bp
+"""
+
+
+SAMPLE_RATES_BP = {"en": 5000, "de": 2500, "es": 1000}
+SAMPLE_DEFAULT_BP = 500
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-mixture construction:
+    per-language keep rates in basis points over a salted md5 hash — a pure
+    map-side filter (no shuffle, no RNG), identical under retry/replay and
+    regenerated exactly by the SQL oracle."""
+    return co.stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES_BP,
+        default_bp=SAMPLE_DEFAULT_BP).select("doc_id", "lang")
+
+
+def _sql_sample_stratified() -> str:
+    from ..functions.texthash import sql_hash60
+    h = sql_hash60(f"'{co.SAMPLE_SALT}' || doc_id")
+    case = ("CASE lang "
+            + " ".join(f"WHEN '{k}' THEN {v}"
+                       for k, v in sorted(SAMPLE_RATES_BP.items()))
+            + f" ELSE {SAMPLE_DEFAULT_BP} END")
+    return (f"SELECT doc_id, lang FROM documents "
+            f"WHERE {h} % 10000 < {case}")
+
+
+SHARD_TOKENS_TEST = 2000
+
+
+def q_shard_packing(spark, sf_dir):
+    """Token-budget shard packing (documents → ~N-token training shards in
+    canonical doc_id order) via the hierarchical two-level cumsum —
+    bit-identical to the naive single global window the oracle runs."""
+    stats = ts.token_stats_table(_docs(spark, sf_dir))
+    return co.pack_shards(stats, shard_tokens=SHARD_TOKENS_TEST)
+
+
+SQL_SHARD_PACKING = f"""
+WITH t AS (SELECT doc_id, len(string_split_regex(text, '\\s+')) AS ws_tokens
+           FROM documents),
+c AS (SELECT doc_id, ws_tokens,
+             coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tb
+      FROM t)
+SELECT doc_id, ws_tokens AS n_tokens,
+       (tb // {SHARD_TOKENS_TEST})::BIGINT AS shard_id,
+       tb AS tokens_before
+FROM c
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     """array<float> plumbing: dimension + L2 norm per vector (zip_with /
     aggregate higher-order functions, JVM-side)."""
@@ -1289,6 +1362,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "doc_chunks": q_doc_chunks,
     "pii_scrub": q_pii_scrub,
+    "quality_quantiles": q_quality_quantiles,
+    "sample_stratified": q_sample_stratified,
+    "shard_packing": q_shard_packing,
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_topk_vectorized": q_ann_topk_vectorized,
@@ -1341,6 +1417,9 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": _sql_fingerprint(),
         "doc_chunks": SQL_DOC_CHUNKS,
         "pii_scrub": SQL_PII_SCRUB,
+        "quality_quantiles": _sql_quality_quantiles(),
+        "sample_stratified": _sql_sample_stratified(),
+        "shard_packing": SQL_SHARD_PACKING,
         "embedding_norms": SQL_EMBEDDING_NORMS,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "ann_topk_vectorized": SQL_ANN_TOPK,

@@ -65,6 +65,23 @@ def test_ivf_recall_vs_brute_force(emb):
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
 
 
+def test_arrow_paths_bit_identical_to_jvm(emb):
+    """The Arrow bucketing/cell-assignment fast paths accumulate dots
+    left-to-right per dimension, so every output row must equal the JVM
+    column-expression form exactly — buckets, candidates, cosines, ranks."""
+    q = _queries(emb, 8)
+    for fn, kw in [(sim.lsh_topk, dict(k=5, dim=64)),
+                   (sim.ivf_topk, dict(k=5, dim=64))]:
+        a = {tuple(r) for r in fn(emb, q, arrow=True, **kw).collect()}
+        j = {tuple(r) for r in fn(emb, q, arrow=False, **kw).collect()}
+        assert a == j, fn.__name__
+    a = {tuple(r) for r in
+         sim.lsh_near_dup_pairs(emb, 0.4, dim=64, arrow=True).collect()}
+    j = {tuple(r) for r in
+         sim.lsh_near_dup_pairs(emb, 0.4, dim=64, arrow=False).collect()}
+    assert a == j
+
+
 def test_ivf_cells_partition_corpus(emb):
     cells = emb.select(sim.ivf_cell(F.col("embedding"), 64, 16).alias("c"))
     vals = [r["c"] for r in cells.collect()]
