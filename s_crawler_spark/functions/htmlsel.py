@@ -40,15 +40,21 @@ _WS_RE = re.compile(r"\s+")
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "_texts",
+    # children/_texts are LAZY (None until first append): most elements are
+    # leaves and most carry no text, so eagerly allocating two lists per
+    # element doubles the parser's allocation rate — pure memory-bandwidth
+    # cost on Common-Crawl-weight pages (the 4→16-core scaling limiter on a
+    # single box). Use ``el.children or ()`` to iterate.
+    __slots__ = ("tag", "attrs", "children", "parent", "_texts", "_classes",
                  "_ord", "_ord_end", "_indexes")
 
-    def __init__(self, tag, attrs, parent):
+    def __init__(self, tag, attrs, parent, classes=None):
         self.tag = tag
         self.attrs = attrs
-        self.children = []
+        self.children = None
         self.parent = parent
-        self._texts = []  # interleaved raw text chunks
+        self._texts = None   # interleaved raw text chunks (lazy)
+        self._classes = classes  # memoized split class list (fast parser)
         self._ord = 0        # document-order number (index pass)
         self._ord_end = 0    # max _ord in this subtree (index pass)
         self._indexes = None  # on the root: (class_idx, tag_idx, id_idx)
@@ -56,7 +62,12 @@ class Element:
     @property
     def classes(self):
         # a bare `class` attribute parses to None (stdlib semantics) —
-        # selector queries must treat it as class-less, not crash
+        # selector queries must treat it as class-less, not crash. The fast
+        # parser hands in the split memoized with the attrs string; other
+        # construction paths compute it on demand.
+        c = self._classes
+        if c is not None:
+            return c
         return (self.attrs.get("class") or "").split()
 
     def iter(self):
@@ -65,12 +76,15 @@ class Element:
         while stack:
             node = stack.pop()
             yield node
-            stack.extend(reversed(node.children))
+            if node.children:
+                stack.extend(reversed(node.children))
 
     def _collect_text(self, out):
-        out.extend(self._texts)
-        for ch in self.children:
-            ch._collect_text(out)
+        if self._texts:
+            out.extend(self._texts)
+        if self.children:
+            for ch in self.children:
+                ch._collect_text(out)
 
     @property
     def text(self):
@@ -95,15 +109,20 @@ class _DomBuilder(HTMLParser):
         self.root = Element("#document", {}, None)
         self._stack = [self.root]
 
+    def _append_child(self, el):
+        parent = self._stack[-1]
+        if parent.children is None:
+            parent.children = []
+        parent.children.append(el)
+
     def handle_starttag(self, tag, attrs):
         el = Element(tag, dict(attrs), self._stack[-1])
-        self._stack[-1].children.append(el)
+        self._append_child(el)
         if tag not in _VOID_TAGS:
             self._stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
-        el = Element(tag, dict(attrs), self._stack[-1])
-        self._stack[-1].children.append(el)
+        self._append_child(Element(tag, dict(attrs), self._stack[-1]))
 
     def handle_endtag(self, tag):
         # close the nearest open element with this tag (forgiving parse)
@@ -114,7 +133,10 @@ class _DomBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
-            self._stack[-1]._texts.append(data)
+            top = self._stack[-1]
+            if top._texts is None:
+                top._texts = []
+            top._texts.append(data)
 
 
 def parse_html_stdlib(html):
@@ -197,22 +219,43 @@ _ATTRS_CACHE_MAX = 100_000
 
 
 def _parse_attrs(s):
+    """Memoized (attrs, selfclose, classes): the class-list split is derived
+    from the same string, so it is cached alongside — elements sharing an
+    attrs string also share one class list instead of re-splitting per
+    selector probe / index build."""
     hit = _ATTRS_CACHE.get(s)
     if hit is None:
         if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
             _ATTRS_CACHE.clear()
         attrs, selfclose = _parse_attrs_uncached(s)
-        hit = (types.MappingProxyType(attrs), selfclose)
+        classes = (attrs.get("class") or "").split()
+        hit = (types.MappingProxyType(attrs), selfclose, classes)
         _ATTRS_CACHE[s] = hit
     return hit
 
 
+def _add_text(el, text):
+    if el._texts is None:
+        el._texts = [text]
+    else:
+        el._texts.append(text)
+
+
 def parse_html(html):
-    """Parse an HTML string (or utf-8 bytes) into a DOM root Element."""
+    """Parse an HTML string (or utf-8 bytes) into a DOM root Element.
+
+    The selector candidate index (class/tag/id → elements, plus the
+    (_ord, _ord_end) subtree intervals) is built INSIDE this same pass:
+    ords are assigned as tags open, subtree ends stamped as they close —
+    one traversal of the document instead of parse + re-walk
+    (_ensure_index remains for trees built by other constructors)."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     root = Element("#document", {}, None)
+    root._ord = 1
     stack = [root]
+    class_idx, tag_idx, id_idx = {}, {}, {}
+    counter = 1
     pos = 0
     n = len(html)
     find = html.find
@@ -221,16 +264,16 @@ def parse_html(html):
         if lt < 0:
             text = html[pos:]
             if text:
-                stack[-1]._texts.append(
-                    _unescape(text) if "&" in text else text)
+                _add_text(stack[-1],
+                          _unescape(text) if "&" in text else text)
             break
         if lt > pos:
             text = html[pos:lt]
-            stack[-1]._texts.append(_unescape(text) if "&" in text else text)
+            _add_text(stack[-1], _unescape(text) if "&" in text else text)
         m = _FAST_TAG_RE.match(html, lt)
         if m is None:
             # stray '<' — treat as text, like HTMLParser's recovery
-            stack[-1]._texts.append("<")
+            _add_text(stack[-1], "<")
             pos = lt + 1
             continue
         pos = m.end()
@@ -246,25 +289,44 @@ def parse_html(html):
             tag = m.group("endtag").lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
+                    for closed in stack[i:]:
+                        closed._ord_end = counter
                     del stack[i:]
                     break
             continue
         tag = tag.lower()
-        attrs, selfclose = _parse_attrs(m.group("attrs"))
-        el = Element(tag, attrs, stack[-1])
-        stack[-1].children.append(el)
+        attrs, selfclose, classes = _parse_attrs(m.group("attrs"))
+        parent = stack[-1]
+        el = Element(tag, attrs, parent, classes)
+        if parent.children is None:
+            parent.children = [el]
+        else:
+            parent.children.append(el)
+        counter += 1
+        el._ord = counter
+        tag_idx.setdefault(tag, []).append(el)
+        for c in classes:
+            class_idx.setdefault(c, []).append(el)
+        i = attrs.get("id")
+        if i is not None:
+            id_idx.setdefault(i, []).append(el)
         if selfclose or tag in _VOID_TAGS:
+            el._ord_end = counter  # leaf: subtree is itself
             continue
         raw = _RAWTEXT_CLOSE.get(tag)
         if raw is not None:
             # script/style: raw text until the matching close tag
             mc = raw.search(html, pos)
             end = mc.start() if mc else n
-            el._texts.append(html[pos:end])
+            _add_text(el, html[pos:end])
+            el._ord_end = counter
             gt = find(">", mc.end()) if mc else -1
             pos = n if gt < 0 else gt + 1
             continue
         stack.append(el)
+    for el in stack:  # implicitly-closed tail, including the root
+        el._ord_end = counter
+    root._indexes = (class_idx, tag_idx, id_idx)
     return root
 
 
@@ -424,7 +486,7 @@ def _ensure_index(root):
         counter += 1
         el._ord = counter
         stack.append((el, True))
-        for ch in reversed(el.children):
+        for ch in reversed(el.children or ()):
             stack.append((ch, False))
         if el.parent is not None:
             tag_idx.setdefault(el.tag, []).append(el)

@@ -78,7 +78,7 @@ def test_missing_selector_returns_none():
 
 def _tree_sig(el):
     return (el.tag, sorted(el.attrs.items()),
-            "".join(el._texts), [_tree_sig(c) for c in el.children])
+            "".join(el._texts or ()), [_tree_sig(c) for c in (el.children or ())])
 
 
 def test_fast_parser_equals_stdlib_on_corpus(pages_dict):

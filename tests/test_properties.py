@@ -107,8 +107,8 @@ def html_fragment(draw, depth=0):
 
 
 def _sig(el):
-    return (el.tag, sorted(el.attrs.items()), "".join(el._texts),
-            [_sig(c) for c in el.children])
+    return (el.tag, sorted(el.attrs.items()), "".join(el._texts or ()),
+            [_sig(c) for c in (el.children or ())])
 
 
 @given(st.lists(html_fragment(), min_size=1, max_size=5))
