@@ -108,6 +108,10 @@ def main() -> None:
     bench("text_quality", lambda: _noop_write(tstats.quality_table(docs)))
     bench("lang_id", lambda: _noop_write(tstats.lang_id_table(docs)))
     bench("doc_fingerprint", lambda: _noop_write(tstats.fingerprint_table(docs)))
+    bench("doc_repetition", lambda: _noop_write(tstats.repetition_table(docs)))
+    bench("benchmark_contam", lambda: _noop_write(tstats.contamination_table(
+        docs, docs.filter(F.col("doc_id") % 37 == 1)
+        .select(F.col("doc_id").alias("bench_id"), "text"))))
 
     def _queries_df():
         return emb.filter(F.col("vec_id") < 32).select(

@@ -261,3 +261,152 @@ def scrub_table(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         scrubbed.alias("clean_text"),
         (scrubbed != F.col(text_col)).alias("was_scrubbed"))
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality rules)
+# --------------------------------------------------------------------------
+
+def _word_grams(w: Column, n: int) -> Column:
+    """Overlapping word n-grams as space-joined strings (one per start
+    position; a document shorter than n words has NO n-grams — mirrored
+    exactly by the SQL oracle's generate_series bound).
+
+    Built by zip_with over shifted slices, NOT transform(sequence, i ->
+    slice(w, i, n)): the slices sit in HOF *argument* position, evaluated
+    once per row, while a slice-of-w inside the lambda body would re-run
+    the whole split per element — the O(len²) interpreted-HOF trap. The
+    zip_with pads the shifted side with NULLs; those non-grams are
+    filtered after the chain."""
+    sz = F.size(w)
+    g = w
+    for k in range(1, n):
+        g = F.zip_with(
+            g, F.slice(w, k + 1, sz),
+            lambda a, b: F.when(a.isNotNull() & b.isNotNull(),
+                                F.concat(a, F.lit(" "), b)))
+    return F.filter(g, lambda x: x.isNotNull())
+
+
+def _max_run(arr: Column) -> Column:
+    """Highest multiplicity of any element: sort, then one fold counting the
+    longest equal-run. Map-side only — the per-document mode never shuffles
+    (the SQL oracle computes the same integer relationally via
+    unnest + GROUP BY + max(count); counts are counts either way)."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(F.lit("").alias("prev"),
+                 F.lit(0).cast("int").alias("run"),
+                 F.lit(0).cast("int").alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(g == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+
+
+def repetition_table(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Intra-document repetition signals (the Gopher repetition rules,
+    token-count basis): duplicate-word fraction, the corpus share of the
+    single most-repeated 2-/3-gram, and duplicate-sentence fraction — the
+    standard pre-training filters for boilerplate / listicle / generated-
+    text pages. All integer basis points (bit-exact cross-engine).
+
+    Plan shape: pure per-row column expressions — no shuffle, no Python;
+    at 100 TB this runs map-side inside the same scan as the other quality
+    features. Each higher-order fold is used by exactly ONE output column
+    (the HOF no-CSE rule), with the shared word array recomputed per
+    column by split() — cheap relative to the folds it feeds.
+    """
+    t = F.col(text_col)
+    w = _words(t)
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    sents = F.split(t, r"\. ")
+    n_sents = F.size(sents)
+    n_distinct_sents = F.size(F.array_distinct(sents))
+    return (
+        docs.select(
+            F.col(id_col),
+            n_words.alias("__nw"),
+            n_distinct.alias("__nd"),
+            _max_run(_word_grams(w, 2)).alias("__r2"),
+            _max_run(_word_grams(w, 3)).alias("__r3"),
+            n_sents.alias("__ns"),
+            n_distinct_sents.alias("__nds"),
+        )
+        .select(
+            id_col,
+            F.col("__nw").alias("n_words"),
+            F.expr("(cast(__nw - __nd as bigint) * 10000) div __nw")
+            .alias("dup_word_bp"),
+            F.expr("(cast(__r2 as bigint) * 2 * 10000) div __nw")
+            .alias("top2gram_bp"),
+            F.expr("(cast(__r3 as bigint) * 3 * 10000) div __nw")
+            .alias("top3gram_bp"),
+            F.expr("(cast(__ns - __nds as bigint) * 10000) div __ns")
+            .alias("dup_sent_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination (eval-set n-gram overlap)
+# --------------------------------------------------------------------------
+
+CONTAM_NGRAM = 8
+
+
+def _gram_hash_set(text: Column, n: int) -> Column:
+    """Distinct md5-60 hashes of the text's word n-grams (the texthash
+    construction, so the SQL oracle regenerates identical values)."""
+    from ..functions.texthash import md5_hash60
+    return F.array_distinct(
+        F.transform(_word_grams(_words(text), n), md5_hash60))
+
+
+def contamination_table(docs: DataFrame, bench: DataFrame,
+                        n: int = CONTAM_NGRAM,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination detection: for every document, how many of
+    its distinct word ``n``-grams appear anywhere in the evaluation set
+    ``bench`` — the standard decontamination pass a pre-training pipeline
+    runs before finalizing a corpus (13-gram in the PaLM/GPT-3 reports;
+    ``n`` is a knob). Returns (id, n_grams, n_hit_grams, contam_bp).
+
+    Scale shape: the benchmark gram set is small by construction (eval
+    suites are ~10^6-10^7 grams) → built once and BROADCAST; the corpus
+    side is a map-side explode of per-doc distinct gram hashes into a
+    broadcast equi-join, and the only corpus-sized shuffle carries
+    (doc_id, count) partial aggregates of the HIT rows only. The per-doc
+    gram array is materialized behind a lazy localCheckpoint because two
+    consumers derive from it (the size column and the exploded join) —
+    CollapseProject would otherwise inline the expensive hash transform
+    into both.
+    """
+    base = docs.select(
+        F.col(id_col),
+        _gram_hash_set(F.col(text_col), n).alias("__g"),
+    ).localCheckpoint(eager=False)
+    bench_set = (bench
+                 .select(F.explode(
+                     _gram_hash_set(F.col(bench_text_col), n)).alias("gh"))
+                 .distinct())
+    hits = (base.select(F.col(id_col), F.explode("__g").alias("gh"))
+            .join(F.broadcast(bench_set), "gh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hit_grams")))
+    return (base.select(F.col(id_col), F.size("__g").alias("n_grams"))
+            .join(hits, id_col, "left")
+            .withColumn("n_hit_grams",
+                        F.coalesce(F.col("n_hit_grams").cast("int"), F.lit(0)))
+            .withColumn("contam_bp", F.expr(
+                # a doc shorter than n words has zero grams — ANSI mode
+                # makes a bare `div` throw on it, so guard to 0
+                "case when n_grams = 0 then 0 else"
+                " (cast(n_hit_grams as bigint) * 10000) div n_grams end")))

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..corpus import (CARDS_PER_PAGE, DUP_CARRYOVER, MONTHS, SUBJECTS,
                       seed_search_url, synthesize_pages)
 from ..functions import scalars
-from ..functions.texthash import MERSENNE_31, perm_coeffs
+from ..functions.texthash import MERSENNE_31, perm_coeffs, sql_hash60
 from ..operators import corpusops as co
 from ..operators import dedup as dd
 from ..operators import frontier as fr
@@ -883,6 +883,78 @@ SELECT doc_id, clean_text, clean_text <> dirty AS was_scrubbed FROM s
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition signals: duplicate-word /
+    duplicate-sentence fractions and the share of the most-repeated 2-/3-
+    gram, integer basis points (operators/textstats.py:repetition_table).
+    Spark computes the per-doc gram mode with a map-side sort+fold (no
+    shuffle); the oracle computes the same integers relationally."""
+    return ts.repetition_table(_docs(spark, sf_dir))
+
+
+def _sql_gram(n: int) -> str:
+    """unnest'ed word n-grams per doc (inclusive-end DuckDB slices ==
+    Spark's zip_with-of-shifted-slices construction; docs shorter than n
+    words produce no grams on either side)."""
+    return (f"SELECT doc_id, unnest(list_transform("
+            f"generate_series(1, len(w) - {n - 1}),"
+            f" i -> array_to_string(w[i:i+{n - 1}], ' '))) AS g FROM w")
+
+
+def _sql_doc_repetition() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w,
+                  string_split(text, '. ') AS s FROM documents),
+c2 AS (SELECT doc_id, max(c) AS r2 FROM
+        (SELECT doc_id, g, count(*) AS c FROM ({_sql_gram(2)}) GROUP BY 1, 2)
+       GROUP BY 1),
+c3 AS (SELECT doc_id, max(c) AS r3 FROM
+        (SELECT doc_id, g, count(*) AS c FROM ({_sql_gram(3)}) GROUP BY 1, 2)
+       GROUP BY 1),
+b AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nd,
+             len(s) AS ns, len(list_distinct(s)) AS nds FROM w)
+SELECT b.doc_id, nw AS n_words,
+       ((nw - nd)::BIGINT * 10000) // nw AS dup_word_bp,
+       (coalesce(r2, 0)::BIGINT * 2 * 10000) // nw AS top2gram_bp,
+       (coalesce(r3, 0)::BIGINT * 3 * 10000) // nw AS top3gram_bp,
+       ((ns - nds)::BIGINT * 10000) // ns AS dup_sent_bp
+FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+"""
+
+
+def q_benchmark_contam(spark, sf_dir):
+    """Benchmark-contamination pass: count each document's distinct word
+    8-grams that appear in the 'evaluation set' — deterministically chosen
+    as the doc_id % 37 == 1 slice of the corpus itself, so contamination is
+    guaranteed present (those docs self-hit) without any external data
+    (operators/textstats.py:contamination_table; broadcast gram-set join)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 1) \
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    return ts.contamination_table(docs, bench)
+
+
+def _sql_benchmark_contam() -> str:
+    n = ts.CONTAM_NGRAM
+    gh = sql_hash60(f"array_to_string(w[i:i+{n - 1}], ' ')")
+    return f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, len(w) - {n - 1}), i -> {gh})) AS gh FROM w),
+b AS (SELECT DISTINCT gh FROM
+       (SELECT unnest(gh) AS gh FROM g WHERE doc_id % 37 = 1)),
+e AS (SELECT doc_id, unnest(gh) AS gh FROM g),
+h AS (SELECT e.doc_id, count(*) AS n_hit_grams FROM e JOIN b USING (gh)
+      GROUP BY 1),
+t AS (SELECT doc_id, len(gh) AS n_grams FROM g)
+SELECT t.doc_id, n_grams, coalesce(n_hit_grams, 0)::INT AS n_hit_grams,
+       CASE WHEN n_grams = 0 THEN 0
+            ELSE (coalesce(n_hit_grams, 0)::BIGINT * 10000) // n_grams
+       END AS contam_bp
+FROM t LEFT JOIN h USING (doc_id)
+"""
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Exact distributed quantiles of the integer quality score by counting
     (threshold selection for corpus filtering): histogram bounded by the
@@ -1362,6 +1434,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_fingerprint,
     "doc_chunks": q_doc_chunks,
     "pii_scrub": q_pii_scrub,
+    "doc_repetition": q_doc_repetition,
+    "benchmark_contam": q_benchmark_contam,
     "quality_quantiles": q_quality_quantiles,
     "sample_stratified": q_sample_stratified,
     "shard_packing": q_shard_packing,
@@ -1417,6 +1491,8 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": _sql_fingerprint(),
         "doc_chunks": SQL_DOC_CHUNKS,
         "pii_scrub": SQL_PII_SCRUB,
+        "doc_repetition": _sql_doc_repetition(),
+        "benchmark_contam": _sql_benchmark_contam(),
         "quality_quantiles": _sql_quality_quantiles(),
         "sample_stratified": _sql_sample_stratified(),
         "shard_packing": SQL_SHARD_PACKING,

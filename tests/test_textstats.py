@@ -120,3 +120,49 @@ def test_scrub_pii(spark):
                                   "doc_id long, text string")
     r2 = ts.scrub_table(clean).collect()[0]
     assert not r2["was_scrubbed"] and r2["clean_text"] == "no pii here just words"
+
+
+def test_repetition_metrics(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat sat again"),
+        (1, "a b a b a b a b"),
+        (2, "unique words only here today friends"),
+        (3, "one. two. one. three. one. two. four"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ts.repetition_table(df).collect()}
+    # doc 0: 10 words, 6 distinct; "the cat" x2, "the cat sat" x2
+    assert out[0]["n_words"] == 10
+    assert out[0]["dup_word_bp"] == 4 * 10000 // 10
+    assert out[0]["top2gram_bp"] == 2 * 2 * 10000 // 10
+    assert out[0]["top3gram_bp"] == 2 * 3 * 10000 // 10
+    # doc 1: "a b" appears 4 times among 7 2-grams → covers 8/8 words;
+    # overlapping 3-grams ("a b a" x3) legitimately exceed 10000 bp
+    assert out[1]["top2gram_bp"] == 10000
+    assert out[1]["top3gram_bp"] == 3 * 3 * 10000 // 8
+    assert out[2]["dup_word_bp"] == 0
+    # doc 3: 7 '. '-sentences, 4 distinct
+    assert out[3]["dup_sent_bp"] == 3 * 10000 // 7
+    # doc 4: single word → no 2-/3-grams, all-zero ratios, no crash
+    assert out[4]["top2gram_bp"] == 0 and out[4]["top3gram_bp"] == 0
+
+
+def test_contamination(spark):
+    docs = spark.createDataFrame([
+        (1, "the cat sat on the mat the cat sat again"),
+        (2, "a b a b a b a b"),
+        (3, "tiny"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the cat sat on the mat the cat sat zzz")],
+        "bench_id long, text string")
+    out = {r["doc_id"]: r for r in
+           ts.contamination_table(docs, bench, n=3).collect()}
+    # doc 1 has 7 distinct 3-grams; all but "cat sat again" appear in bench
+    assert out[1]["n_grams"] == 7
+    assert out[1]["n_hit_grams"] == 6
+    assert out[1]["contam_bp"] == 6 * 10000 // 7
+    assert out[2]["n_hit_grams"] == 0 and out[2]["contam_bp"] == 0
+    # doc shorter than n: zero grams, guarded ratio
+    assert out[3]["n_grams"] == 0 and out[3]["contam_bp"] == 0
