@@ -69,14 +69,21 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------------------
 
 def ngram_set(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of one document."""
+    """Distinct word n-gram shingles of one document (a doc shorter than n
+    words yields its single truncated gram — the SQL oracles mirror this).
+
+    Grams come from the zip_with-of-shifted-slices chain
+    (textstats._word_grams): the split array sits in HOF *argument*
+    position, evaluated ~n times per ROW — the previous
+    transform(sequence, i -> slice(w, i, n)) form re-ran the whole split
+    inside the lambda body once per start position, O(len²) in the
+    interpreted evaluator (the CLAUDE.md HOF trap), which sat under every
+    MinHash signature build."""
+    from .textstats import _word_grams
     w = words(text)
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(w) - (n - 1))),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        )
-    )
+        F.when(F.size(w) < n, F.array(F.concat_ws(" ", w)))
+        .otherwise(_word_grams(w, n)))
 
 
 def jaccard_counts(a: Column, b: Column) -> tuple[Column, Column]:

@@ -223,15 +223,25 @@ def chunk_table(docs: DataFrame, text_col: str = "text",
     (chunk_tokens window, stride overlap), one row per chunk with its token
     span. Pure column expressions — sequence + slice + posexplode, fully
     vectorized; at 100 TB this is the map-side-only operator that feeds
-    tokenization, so it must not shuffle (and doesn't)."""
-    w = F.split(F.col(text_col), " ")
+    tokenization, so it must not shuffle (and doesn't — the lazy
+    localCheckpoint materializes blocks without an exchange).
+
+    The split array materializes behind the checkpoint so the windowing
+    lambda's ``slice`` reads a plain column reference per chunk; inlined,
+    the split expression would re-run inside the lambda body once per
+    chunk start — O(len²/stride) in the interpreted HOF evaluator."""
+    base = docs.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__w"),
+    ).localCheckpoint(eager=False)
+    w = F.col("__w")
     starts = F.sequence(
         F.lit(1), F.greatest(F.lit(1), F.size(w) - (chunk_tokens - stride)),
         F.lit(stride))
     chunks = F.transform(starts, lambda i: F.struct(
         i.alias("start"),
         F.concat_ws(" ", F.slice(w, i, chunk_tokens)).alias("chunk")))
-    return (docs.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+    return (base.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
             .select(id_col, "chunk_idx",
                     (F.col("c.start") - 1).alias("token_start"),
                     F.col("c.chunk").alias("chunk_text")))
