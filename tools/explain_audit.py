@@ -183,6 +183,31 @@ def main() -> int:
                  vec_ok))
         all_ok &= audit(name, pa, checks)
 
+    # ---- text-pipeline corpus-hygiene plans ------------------------------
+    from s_crawler_spark.operators import textstats as tst
+    docs_audit = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p_rep = plan_of(tst.repetition_table(docs_audit))
+    all_ok &= audit("repetition_table", p_rep, [
+        ("shuffle-free (per-doc gram mode is a map-side sort+fold)",
+         "Exchange" not in p_rep),
+    ])
+    bench_docs = docs_audit.filter(F.col("doc_id") % 37 == 1) \
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    p_con = plan_of(tst.contamination_table(docs_audit, bench_docs))
+    all_ok &= audit("contamination_table", p_con, [
+        ("gram probe is a broadcast equi-join (no BNLJ, no sort-merge "
+         "of the corpus)", "BroadcastHashJoin" in p_con
+         and "BroadcastNestedLoop" not in p_con
+         and "SortMergeJoin" not in p_con),
+        ("no Exchange carries document text (only gram hashes / counts "
+         "shuffle)", not any(
+             "text" in re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+             for b in re.split(r"\n\n", p_con)
+             if re.match(r"\(\d+\) Exchange",
+                         (b.splitlines()[0] if b.strip() else "").strip())
+             and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b))),
+    ])
+
     # ---- politeness admission: two-phase bounded top-k -------------------
     from s_crawler_spark.operators import frontier as frn
     from s_crawler_spark.operators import politeness as po
