@@ -336,3 +336,83 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster assignment (transitive closure of the pair sets)
+# --------------------------------------------------------------------------
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.union(edges.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach every strictly-greater neighbor of u to min({u} ∪ Γ(u))."""
+    sym = _symmetrize(edges)
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m")))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Attach every smaller-or-equal neighbor of u (and u itself) to
+    min of u's smaller neighborhood."""
+    oriented = (edges.select(F.greatest("u", "v").alias("u"),
+                             F.least("u", "v").alias("v"))
+                .distinct())
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    leaves = (oriented.join(mins, "u")
+              .filter(F.col("v") != F.col("m"))
+              .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    centers = mins.select("u", F.col("m").alias("v"))
+    return leaves.union(centers).distinct()
+
+
+def near_dup_clusters(pairs: DataFrame, a_col: str = "a_id",
+                      b_col: str = "b_id", max_rounds: int = 24) -> DataFrame:
+    """Transitive closure of a near-dup pair set → (doc_id, cluster_id).
+
+    The closure step every real dedup pipeline runs after LSH emits pairs
+    (the reference's all-pairs check_duplicates.py:50-57 report IS this
+    step at toy scale — it prints groups of mutually-similar titles):
+    alternating large-star / small-star min-label contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14). Each
+    round is two groupBy shuffles keyed on a single long node id over
+    id-ONLY edges — no text, no vectors, no driver-side graph — and the
+    edge set contracts to a star rooted at each component's min id in
+    O(log² n) rounds, so a 10⁶-long chain of drifting near-dups needs
+    ~⌈log²⌉ rounds, not diameter rounds like naive label propagation.
+
+    The driver-side loop is bounded by max_rounds; its only per-round
+    action collects ONE (count, hash-sum) checksum row for convergence
+    detection, and each round is lazily localCheckpoint-ed so lineage
+    stays flat (the checksum action materializes it). Returns one row per
+    non-singleton node: cluster_id = min doc id of the component — the
+    same min-wins survivor rule as exact_dedup, so the two rungs of the
+    ladder agree on which copy survives. Callers union singletons back as
+    their own roots (see plans/contract.q_dedup_clusters).
+    """
+    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                          F.col(b_col).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct())
+    prev = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        row = edges.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                       F.lit(0).cast("decimal(38,0)")).alias("h")).collect()[0]
+        cur = (row["n"], row["h"])
+        if cur == prev:     # star fixpoint: every edge is (member, root)
+            break
+        prev = cur
+    roots = edges.select(F.col("v").alias("doc_id"),
+                         F.col("v").alias("cluster_id")).distinct()
+    members = edges.select(F.col("u").alias("doc_id"),
+                           F.col("v").alias("cluster_id"))
+    return members.union(roots)

@@ -1186,6 +1186,49 @@ FROM sh FULL OUTER JOIN mh ON sh.a_id = mh.a_id AND sh.b_id = mh.b_id
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure of the MinHash near-dup pairs → canonical-survivor
+    assignment for every doc in the slice (the closure step the reference's
+    check_duplicates.py report performs implicitly by printing mutually-
+    similar title groups). Alternating large-star/small-star contraction
+    (id-only shuffles, O(log² n) rounds); singletons are their own roots;
+    n_members sizes each cluster so downstream keep/drop policy is a
+    filter, not another join."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pairs = td.minhash_lsh_pairs(docs, threshold=0.7)
+    cc = td.near_dup_clusters(pairs)
+    assign = (docs.select("doc_id")
+              .join(cc, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")))
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (assign.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "n_members"))
+
+
+def _sql_dedup_clusters() -> str:
+    # Exact closure oracle: reachability via a recursive CTE (min reachable
+    # id == component root), replaying the identical MinHash pair SQL.
+    return f"""
+WITH RECURSIVE mh AS ({_sql_minhash()}),
+edges AS (SELECT a_id AS u, b_id AS v FROM mh
+          UNION SELECT b_id, a_id FROM mh),
+walk(u, lbl) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+    SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u),
+cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u),
+assign AS (
+  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+  LEFT JOIN cc ON cc.doc_id = d.doc_id)
+SELECT a.doc_id, a.cluster_id, s.n_members
+FROM assign a
+JOIN (SELECT cluster_id, count(*) AS n_members
+      FROM assign GROUP BY cluster_id) s ON s.cluster_id = a.cluster_id
+"""
+
+
 def q_media_frames(spark, sf_dir):
     """Frame sampling over video payloads (row-multiplying mapInPandas;
     deterministic byte-slicing stub — pure arithmetic, so SQL-checkable)."""
@@ -1450,6 +1493,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_near_dup": q_ann_lsh_near_dup,
     "simhash_near_pairs": q_simhash_near_pairs,
     "dedup_agreement": q_dedup_agreement,
+    "dedup_clusters": q_dedup_clusters,
     "media_frames": q_media_frames,
     "multiwave_crawl": q_multiwave_crawl,
 }
@@ -1507,6 +1551,7 @@ def build_oracles() -> dict[str, str]:
         "ann_lsh_near_dup": _sql_ann_lsh_near_dup(),
         "simhash_near_pairs": _sql_simhash_near_pairs(),
         "dedup_agreement": _sql_dedup_agreement(),
+        "dedup_clusters": _sql_dedup_clusters(),
         "media_frames": SQL_MEDIA_FRAMES,
         "multiwave_crawl": SQL_MULTIWAVE,
     }

@@ -99,3 +99,38 @@ def test_embedding_near_dup(spark):
     pairs = {(r["a_id"], r["b_id"]) for r in
              td.embedding_near_dup_pairs(df, threshold=0.95).collect()}
     assert pairs == {(0, 1)}
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster assignment (large-star/small-star closure)
+# --------------------------------------------------------------------------
+
+def _clusters(spark, pairs):
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    rows = td.near_dup_clusters(df).collect()
+    out = {}
+    for r in rows:
+        out[r["doc_id"]] = r["cluster_id"]
+    assert len(out) == len(rows), "one assignment row per node"
+    return out
+
+def test_clusters_chain_and_island(spark):
+    # chain 1-2-3-4 (transitive), island {10,11}, pair order/direction mixed
+    got = _clusters(spark, [(2, 1), (2, 3), (4, 3), (11, 10)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+def test_clusters_long_path_converges_in_log_rounds(spark):
+    # 64-node path: naive min-propagation needs 63 rounds; the alternating
+    # star contraction must close it inside the bounded driver loop.
+    pairs = [(i, i + 1) for i in range(64)]
+    got = _clusters(spark, pairs)
+    assert got == {i: 0 for i in range(65)}
+
+def test_clusters_empty_and_self_pairs(spark):
+    df = spark.createDataFrame([(5, 5)], "a_id long, b_id long")
+    assert td.near_dup_clusters(df).count() == 0
+
+def test_clusters_min_wins_matches_exact_dedup_rule(spark):
+    # two components with interleaved ids; root is always the min id
+    got = _clusters(spark, [(9, 3), (3, 7), (8, 2), (2, 6)])
+    assert got == {3: 3, 7: 3, 9: 3, 2: 2, 6: 2, 8: 2}

@@ -226,6 +226,27 @@ def main() -> int:
         ("no global sort in admission", "rangepartitioning" not in p7.lower()),
     ])
 
+    # ---- near-dup cluster round: id-only star contraction ----------------
+    pairs_audit = td.minhash_lsh_pairs(docs_audit, threshold=0.7)
+    round_df = td._small_star(td._large_star(
+        pairs_audit.select(F.col("a_id").cast("long").alias("u"),
+                           F.col("b_id").cast("long").alias("v"))))
+    p8 = plan_of(round_df)
+    exch_inputs = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+                   for b in re.split(r"\n\n", p8)
+                   if re.match(r"\(\d+\) Exchange",
+                               (b.splitlines()[0] if b.strip() else "").strip())
+                   and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    all_ok &= audit("near_dup_clusters (one star round)", p8, [
+        ("star joins are equi-hash joins (no BNLJ/cartesian anywhere in "
+         "the round)", "NestedLoop" not in p8 and "Cartesian" not in p8),
+        ("every Exchange carries only node-id columns (u/v/m/mn longs — "
+         "no text, no grams, no vectors)",
+         bool(exch_inputs) and all(
+             not any(w in cols for w in ("text", "grams", "embedding", "sig"))
+             for cols in exch_inputs)),
+    ])
+
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
     return 0 if all_ok else 1
 
