@@ -166,6 +166,14 @@ _FAST_TAG_RE = re.compile(
     )""",
     re.VERBOSE | re.DOTALL,
 )
+# Char-dispatched split of _FAST_TAG_RE (parse_html peeks at html[lt+1] and
+# picks the branch directly): the big alternation tried-and-failed 3
+# branches per start tag and extracted 4+ discriminator groups per match —
+# these two patterns have the same accept/reject language per branch, one
+# group call each. _FAST_TAG_RE stays as the documented combined grammar.
+_START_TAG_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>")
+_END_TAG_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>")
 _FAST_ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)
         (?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]*)))?""",
@@ -219,9 +227,10 @@ _ATTRS_CACHE_MAX = 100_000
 
 
 def _parse_attrs(s):
-    """Memoized (attrs, selfclose, classes): the class-list split is derived
-    from the same string, so it is cached alongside — elements sharing an
-    attrs string also share one class list instead of re-splitting per
+    """Memoized (attrs, selfclose, classes, id): the class-list split and
+    the id value are derived from the same string, so they are cached
+    alongside — elements sharing an attrs string also share one class list
+    (and skip the per-element id dict probe) instead of re-deriving per
     selector probe / index build."""
     hit = _ATTRS_CACHE.get(s)
     if hit is None:
@@ -229,7 +238,8 @@ def _parse_attrs(s):
             _ATTRS_CACHE.clear()
         attrs, selfclose = _parse_attrs_uncached(s)
         classes = (attrs.get("class") or "").split()
-        hit = (types.MappingProxyType(attrs), selfclose, classes)
+        hit = (types.MappingProxyType(attrs), selfclose, classes,
+               attrs.get("id"))
         _ATTRS_CACHE[s] = hit
     return hit
 
@@ -259,6 +269,14 @@ def parse_html(html):
     pos = 0
     n = len(html)
     find = html.find
+    # hot-loop bindings (the list/dict OBJECTS are never replaced, only
+    # mutated, so the bound methods stay valid across del stack[i:] etc.)
+    start_match = _START_TAG_RE.match
+    end_match = _END_TAG_RE.match
+    tag_sd = tag_idx.setdefault
+    class_sd = class_idx.setdefault
+    id_sd = id_idx.setdefault
+    attrs_cache_get = _ATTRS_CACHE.get
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -269,61 +287,87 @@ def parse_html(html):
             break
         if lt > pos:
             text = html[pos:lt]
-            _add_text(stack[-1], _unescape(text) if "&" in text else text)
-        m = _FAST_TAG_RE.match(html, lt)
-        if m is None:
-            # stray '<' — treat as text, like HTMLParser's recovery
-            _add_text(stack[-1], "<")
-            pos = lt + 1
-            continue
-        pos = m.end()
-        # one C call for the discriminating groups instead of four
-        comment, decl, end, tag = m.group("comment", "decl", "end", "tag")
-        if comment:
-            close = find("-->", pos)
-            pos = n if close < 0 else close + 3
-            continue
-        if decl:
-            continue
-        if end:
-            tag = m.group("endtag").lower()
+            if "&" in text:
+                text = _unescape(text)
+            top = stack[-1]  # inlined _add_text (hottest call site)
+            if top._texts is None:
+                top._texts = [text]
+            else:
+                top._texts.append(text)
+        # dispatch on the char after '<' instead of a 4-branch alternation
+        c = html[lt + 1] if lt + 1 < n else ""
+        if "a" <= c <= "z" or "A" <= c <= "Z":
+            m = start_match(html, lt)
+            if m is None:  # unterminated tag — HTMLParser-style recovery
+                _add_text(stack[-1], "<")
+                pos = lt + 1
+                continue
+            pos = m.end()
+            tag, rawattrs = m.group(1, 2)
+            tag = tag.lower()
+            # inlined _parse_attrs cache hit (2M calls/corpus-slice: the
+            # function-call overhead alone is measurable; miss path stays
+            # in the function)
+            hit = attrs_cache_get(rawattrs)
+            if hit is None:
+                hit = _parse_attrs(rawattrs)
+            attrs, selfclose, classes, idval = hit
+            parent = stack[-1]
+            el = Element(tag, attrs, parent, classes)
+            if parent.children is None:
+                parent.children = [el]
+            else:
+                parent.children.append(el)
+            counter += 1
+            el._ord = counter
+            tag_sd(tag, []).append(el)
+            for cl in classes:
+                class_sd(cl, []).append(el)
+            if idval is not None:
+                id_sd(idval, []).append(el)
+            if selfclose or tag in _VOID_TAGS:
+                el._ord_end = counter  # leaf: subtree is itself
+                continue
+            raw = _RAWTEXT_CLOSE.get(tag)
+            if raw is not None:
+                # script/style: raw text until the matching close tag
+                mc = raw.search(html, pos)
+                end = mc.start() if mc else n
+                _add_text(el, html[pos:end])
+                el._ord_end = counter
+                gt = find(">", mc.end()) if mc else -1
+                pos = n if gt < 0 else gt + 1
+                continue
+            stack.append(el)
+        elif c == "/":
+            m = end_match(html, lt)
+            if m is None:  # '</>' or unterminated — stray-text recovery
+                _add_text(stack[-1], "<")
+                pos = lt + 1
+                continue
+            pos = m.end()
+            tag = m.group(1).lower()
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     for closed in stack[i:]:
                         closed._ord_end = counter
                     del stack[i:]
                     break
-            continue
-        tag = tag.lower()
-        attrs, selfclose, classes = _parse_attrs(m.group("attrs"))
-        parent = stack[-1]
-        el = Element(tag, attrs, parent, classes)
-        if parent.children is None:
-            parent.children = [el]
+        elif c == "!" or c == "?":
+            if html.startswith("!--", lt + 1):
+                close = find("-->", lt + 4)
+                pos = n if close < 0 else close + 3
+            else:
+                gt = find(">", lt + 1)  # decl/PI: skip to '>'
+                if gt < 0:
+                    _add_text(stack[-1], "<")
+                    pos = lt + 1
+                else:
+                    pos = gt + 1
         else:
-            parent.children.append(el)
-        counter += 1
-        el._ord = counter
-        tag_idx.setdefault(tag, []).append(el)
-        for c in classes:
-            class_idx.setdefault(c, []).append(el)
-        i = attrs.get("id")
-        if i is not None:
-            id_idx.setdefault(i, []).append(el)
-        if selfclose or tag in _VOID_TAGS:
-            el._ord_end = counter  # leaf: subtree is itself
-            continue
-        raw = _RAWTEXT_CLOSE.get(tag)
-        if raw is not None:
-            # script/style: raw text until the matching close tag
-            mc = raw.search(html, pos)
-            end = mc.start() if mc else n
-            _add_text(el, html[pos:end])
-            el._ord_end = counter
-            gt = find(">", mc.end()) if mc else -1
-            pos = n if gt < 0 else gt + 1
-            continue
-        stack.append(el)
+            # stray '<' — treat as text, like HTMLParser's recovery
+            _add_text(stack[-1], "<")
+            pos = lt + 1
     for el in stack:  # implicitly-closed tail, including the root
         el._ord_end = counter
     root._indexes = (class_idx, tag_idx, id_idx)
