@@ -1,0 +1,87 @@
+"""Link-graph authority scoring for frontier prioritization.
+
+The reference schedules its frontier FIFO-with-priority (reference
+src/scheduler.py enqueue order; database_manager status table) — at web
+scale the standard upgrade is link-authority scoring: PageRank over the
+URL (or host) graph feeding the frontier's priority column, so the
+politeness-budgeted admission (operators/politeness.compose_wave) spends
+each host's budget on the most-linked pages first.
+
+Everything here is INTEGER fixed-point arithmetic — ranks in "rank units"
+(``scale`` total mass), damping in basis points, floor division (``div``)
+everywhere — so every iteration is exactly reproducible across engines:
+the DuckDB oracle replays the identical chained-CTE arithmetic and the
+contract compare is exact, not epsilon-tolerant. Integer sums are
+order-independent, so the shuffle's reduction order cannot perturb the
+result (the float-PageRank pitfall).
+
+Scale shape (SCALE.md): per iteration one shuffle of (url, contrib)
+partial aggregates keyed on dst and one (url, rank) join keyed on src —
+id-and-long rows only, never page content. The edge list with out-degrees
+is computed once and lazily localCheckpoint-ed; each iteration's rank
+table is checkpointed so lineage stays flat across the fixed iteration
+count. Dangling mass (no out-links) is dropped, not redistributed —
+documented semantics, mirrored exactly by the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING_BP = 8500          # 0.85 in basis points
+RANK_SCALE = 10 ** 12      # total rank mass in fixed-point units
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             damping_bp: int = DAMPING_BP, scale: int = RANK_SCALE,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-iteration integer PageRank over an edge list.
+
+    rank_0(u)   = scale div N
+    rank_i+1(u) = base + damping_bp * sum_{(v,u) in E}(rank_i(v) div out(v))
+                         div 10000
+    base        = (scale div N) * (10000 - damping_bp) div 10000
+
+    Parallel edges are counted (a page linking twice votes twice — matches
+    the card-carryover re-listings in the corpus). Returns (url, rank)
+    for every node. The driver performs ONE bounded action (the node
+    count) before the loop; iterations are fully declarative.
+    """
+    nodes = (edges.select(F.col(src).alias("url"))
+             .union(edges.select(F.col(dst).alias("url")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    r0 = scale // n
+    base = r0 * (10000 - damping_bp) // 10000
+    out = edges.groupBy(src).agg(F.count("*").alias("outdeg"))
+    e = (edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+         .join(out.select(F.col(src).alias("e_src"), "outdeg"), "e_src")
+         .localCheckpoint(eager=False))
+    ranks = nodes.select("url", F.lit(r0).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (e.join(ranks, e["e_src"] == ranks["url"])
+                   .select(F.col("e_dst").alias("url"),
+                           F.expr("rank div outdeg").alias("c"))
+                   .groupBy("url")
+                   .agg(F.sum("c").alias("s")))
+        ranks = (nodes.join(contrib, "url", "left")
+                 .select("url",
+                         (F.lit(base) + F.expr(
+                             f"({damping_bp} * coalesce(s, 0L)) div 10000"))
+                         .cast("long").alias("rank"))
+                 .localCheckpoint(eager=False))
+    return ranks
+
+
+def host_rank_rollup(ranks: DataFrame, url_col: str = "url") -> DataFrame:
+    """Host-level authority: sum of member-URL ranks (integer, exact).
+    Feed into politeness.compose_wave as a priority source: budget goes to
+    high-authority hosts' pages first within each wave."""
+    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    return (ranks.groupBy(host.alias("host"))
+            .agg(F.sum("rank").alias("host_rank"),
+                 F.count("*").alias("n_urls")))

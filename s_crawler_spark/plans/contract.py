@@ -28,6 +28,7 @@ from ..corpus import (CARDS_PER_PAGE, DUP_CARRYOVER, MONTHS, SUBJECTS,
 from ..functions import scalars
 from ..functions.texthash import MERSENNE_31, perm_coeffs, sql_hash60
 from ..operators import corpusops as co
+from ..operators import linkgraph as lg
 from ..operators import dedup as dd
 from ..operators import frontier as fr
 from ..operators import multimodal as mm
@@ -1229,6 +1230,112 @@ JOIN (SELECT cluster_id, count(*) AS n_members
 """
 
 
+SEARCH_PFX = "https://www.science.org/action/doSearch?query=scrawl&startPage="
+
+
+def _url_edges(spark, sf_dir) -> DataFrame:
+    """Edge list of the corpus's URL universe — the real link structure the
+    crawl traverses: search page p → each listed card's detail URL (incl.
+    the carried-over re-listings, which correctly give those details two
+    in-links), p → p+1 pagination, detail → PDF page → download."""
+    der = _derived(_docs(spark, sf_dir))
+    d = der.select(
+        "doc_id", "url", "download_link",
+        F.expr(f"doc_id div {P}").alias("page_num"),
+        F.concat(F.lit("https://www.science.org/doi/epdf/"),
+                 F.col("doi")).alias("pdf_page_url"))
+    mx = _docs(spark, sf_dir).agg(
+        F.expr(f"max(doc_id) div {P}").alias("max_page"))
+
+    def sp(c):
+        return F.concat(F.lit(SEARCH_PFX), c.cast("string"))
+
+    listed = d.select(sp(F.col("page_num")).alias("src"),
+                      F.col("url").alias("dst"))
+    carry = (d.crossJoin(F.broadcast(mx))
+             .filter((F.col("doc_id") % P >= P - C)
+                     & (F.col("page_num") < F.col("max_page")))
+             .select(sp(F.col("page_num") + 1).alias("src"),
+                     F.col("url").alias("dst")))
+    pag = (d.select("page_num").distinct().crossJoin(F.broadcast(mx))
+           .filter(F.col("page_num") < F.col("max_page"))
+           .select(sp(F.col("page_num")).alias("src"),
+                   sp(F.col("page_num") + 1).alias("dst")))
+    hop1 = d.select(F.col("url").alias("src"),
+                    F.col("pdf_page_url").alias("dst"))
+    hop2 = d.select(F.col("pdf_page_url").alias("src"),
+                    F.col("download_link").alias("dst"))
+    return listed.union(carry).union(pag).union(hop1).union(hop2)
+
+
+def q_url_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (5 iterations) over the URL link graph —
+    authority scores for frontier prioritization (operators/linkgraph.py).
+    Exact: all-integer arithmetic makes the iteration order- and
+    engine-independent, so the oracle replays it in 5 chained CTEs."""
+    return lg.pagerank(_url_edges(spark, sf_dir), n_iter=5)
+
+
+def q_host_authority(spark, sf_dir):
+    """Host-level authority rollup of the URL PageRank (integer sums)."""
+    return lg.host_rank_rollup(lg.pagerank(_url_edges(spark, sf_dir),
+                                           n_iter=5))
+
+
+def _sql_pagerank_cte(n_iter: int = 5) -> str:
+    """Shared oracle scaffolding: edges + integer PageRank chained CTEs
+    (identical arithmetic to linkgraph.pagerank — `//` ≡ `div`, sums cast
+    back to BIGINT so the compare sees int64 on both sides)."""
+    damp, scale = lg.DAMPING_BP, lg.RANK_SCALE
+    iters = ""
+    for i in range(1, n_iter + 1):
+        iters += f""",
+r{i} AS (
+  SELECT n.url,
+         (({scale} // nn.n) * (10000 - {damp}) // 10000
+          + ({damp} * coalesce(s.s, 0)) // 10000)::BIGINT AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS url, sum(r.rank // e.outdeg)::BIGINT AS s
+             FROM e JOIN r{i - 1} r ON r.url = e.src GROUP BY e.dst) s
+    ON s.url = n.url)"""
+    return f"""{D_CTE},
+mx AS (SELECT max(doc_id) // {P} AS max_page FROM documents),
+edges AS (
+  SELECT '{SEARCH_PFX}' || page_num AS src, url AS dst FROM d
+  UNION ALL
+  SELECT '{SEARCH_PFX}' || (page_num + 1) AS src, url AS dst
+    FROM d CROSS JOIN mx
+   WHERE doc_id % {P} >= {P} - {C} AND page_num < max_page
+  UNION ALL
+  SELECT '{SEARCH_PFX}' || page_num, '{SEARCH_PFX}' || (page_num + 1)
+    FROM (SELECT DISTINCT page_num FROM d) CROSS JOIN mx
+   WHERE page_num < max_page
+  UNION ALL
+  SELECT url, pdf_page_url FROM d
+  UNION ALL
+  SELECT pdf_page_url, download_link FROM d),
+nodes AS (SELECT DISTINCT url
+          FROM (SELECT src AS url FROM edges
+                UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT count(*) AS n FROM nodes),
+outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, outd.outdeg
+      FROM edges JOIN outd ON outd.src = edges.src),
+r0 AS (SELECT url, ({scale} // nn.n)::BIGINT AS rank
+       FROM nodes CROSS JOIN nn){iters}"""
+
+
+def _sql_url_pagerank() -> str:
+    return f"WITH {_sql_pagerank_cte()} SELECT url, rank FROM r5"
+
+
+def _sql_host_authority() -> str:
+    return f"""WITH {_sql_pagerank_cte()}
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       sum(rank)::BIGINT AS host_rank, count(*) AS n_urls
+FROM r5 GROUP BY 1"""
+
+
 def q_media_frames(spark, sf_dir):
     """Frame sampling over video payloads (row-multiplying mapInPandas;
     deterministic byte-slicing stub — pure arithmetic, so SQL-checkable)."""
@@ -1494,6 +1601,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "dedup_agreement": q_dedup_agreement,
     "dedup_clusters": q_dedup_clusters,
+    "url_pagerank": q_url_pagerank,
+    "host_authority": q_host_authority,
     "media_frames": q_media_frames,
     "multiwave_crawl": q_multiwave_crawl,
 }
@@ -1552,6 +1661,8 @@ def build_oracles() -> dict[str, str]:
         "simhash_near_pairs": _sql_simhash_near_pairs(),
         "dedup_agreement": _sql_dedup_agreement(),
         "dedup_clusters": _sql_dedup_clusters(),
+        "url_pagerank": _sql_url_pagerank(),
+        "host_authority": _sql_host_authority(),
         "media_frames": SQL_MEDIA_FRAMES,
         "multiwave_crawl": SQL_MULTIWAVE,
     }

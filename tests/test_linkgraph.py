@@ -1,0 +1,60 @@
+"""linkgraph.pagerank vs an independent sequential reimplementation of the
+same integer fixed-point recurrence (exactness is the whole contract —
+integer sums are shuffle-order-independent, so Spark must equal the
+sequential fold bit-for-bit)."""
+
+from pyspark.sql import functions as F
+
+from s_crawler_spark.operators import linkgraph as lg
+
+
+def pagerank_seq(edges, n_iter=5, damp=lg.DAMPING_BP, scale=lg.RANK_SCALE):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {u: scale // n for u in nodes}
+    base = (scale // n) * (10000 - damp) // 10000
+    for _ in range(n_iter):
+        contrib = {u: 0 for u in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // out[s]
+        r = {u: base + damp * contrib[u] // 10000 for u in nodes}
+    return r
+
+
+def run(spark, edges, n_iter=5):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {row["url"]: row["rank"]
+           for row in lg.pagerank(df, n_iter=n_iter).collect()}
+    assert got == pagerank_seq(edges, n_iter)
+    return got
+
+
+def test_pagerank_triangle_with_dangling(spark):
+    run(spark, [("A", "B"), ("B", "A"), ("A", "C")])
+
+
+def test_pagerank_parallel_edges_vote_twice(spark):
+    g1 = run(spark, [("A", "B"), ("A", "B"), ("A", "C")])
+    g2 = run(spark, [("A", "B"), ("A", "C")])
+    assert g1["B"] > g2["B"]  # double listing = double vote
+
+
+def test_pagerank_star_and_chain(spark):
+    hub = [("H", f"L{i}") for i in range(10)] + [(f"L{i}", "H") for i in range(10)]
+    got = run(spark, hub + [("L0", "X"), ("X", "Y")])
+    assert got["H"] == max(got.values())
+
+
+def test_host_rollup_sums_members(spark):
+    edges = [("https://a.org/1", "https://a.org/2"),
+             ("https://a.org/2", "https://b.org/1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ranks = lg.pagerank(df, n_iter=3)
+    roll = {r["host"]: (r["host_rank"], r["n_urls"])
+            for r in lg.host_rank_rollup(ranks).collect()}
+    seq = pagerank_seq(edges, 3)
+    assert roll["a.org"] == (seq["https://a.org/1"] + seq["https://a.org/2"], 2)
+    assert roll["b.org"] == (seq["https://b.org/1"], 1)

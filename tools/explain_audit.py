@@ -247,6 +247,26 @@ def main() -> int:
              for cols in exch_inputs)),
     ])
 
+    # ---- pagerank iteration: (url, long) rows only, equi-joins -----------
+    from s_crawler_spark.operators import linkgraph as lg
+    from s_crawler_spark.plans import contract as ct
+    p9 = plan_of(lg.pagerank(ct._url_edges(spark, sf_dir), n_iter=2))
+    all_ok &= audit("url_pagerank (2 iterations)", p9, [
+        ("rank propagation is equi-join + hash aggregate only (no "
+         "BNLJ/cartesian beyond the bounded 1-row max_page broadcast)",
+         "NestedLoop" not in p9.replace(
+             "BroadcastNestedLoopJoin BuildRight, Cross", "", 2)
+         and "CartesianProduct" not in p9),
+        ("no Exchange carries text/html/vectors (iteration state is "
+         "(url, rank) pairs)", not any(
+             w in cols for w in ("text", "html", "embedding")
+             for cols in [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+                          for b in re.split(r"\n\n", p9)
+                          if re.match(r"\(\d+\) Exchange",
+                                      (b.splitlines()[0] if b.strip() else "").strip())
+                          and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)])),
+    ])
+
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
     return 0 if all_ok else 1
 
