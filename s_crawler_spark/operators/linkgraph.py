@@ -77,6 +77,34 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     return ranks
 
 
+def priority_from_rank(frontier: DataFrame, ranks: DataFrame,
+                       url_col: str = "url") -> DataFrame:
+    """Replace the frontier's ``priority`` column with link authority.
+
+    compose_wave admits per-host by ascending ``(priority, seq)``, so the
+    mapping is ``priority = -(rank div 1024)``: higher-authority pages sort
+    first, URLs not yet in the rank table (discovered this wave) keep their
+    existing priority and drain FIFO after every ranked page. The div-1024
+    scale-down fits the frontier's int priority exactly (a node's rank is
+    bounded by the total mass RANK_SCALE = 10^12, and 10^12/1024 < 2^31);
+    near-tied ranks that collapse to one bucket fall back to seq — still
+    deterministic and engine-exact. NULL rank is handled with an explicit
+    isNotNull branch: least()/greatest() IGNORE nulls in both Spark and
+    DuckDB, so a coalesce-over-least never sees the miss.
+
+    Scale shape: equi-join on url carrying only (url, rank) longs; the rank
+    table at 10^10 URLs shuffles id+long pairs, never page content.
+    """
+    r = ranks.select(F.col(url_col).alias("__r_url"), F.col("rank"))
+    return (frontier.join(r, frontier["url"] == r["__r_url"], "left")
+            .withColumn(
+                "priority",
+                F.when(F.col("rank").isNotNull(),
+                       (-F.expr("rank div 1024")).cast("int"))
+                .otherwise(F.col("priority")))
+            .drop("__r_url", "rank"))
+
+
 def host_rank_rollup(ranks: DataFrame, url_col: str = "url") -> DataFrame:
     """Host-level authority: sum of member-URL ranks (integer, exact).
     Feed into politeness.compose_wave as a priority source: budget goes to

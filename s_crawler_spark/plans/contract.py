@@ -1336,6 +1336,39 @@ SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
 FROM r5 GROUP BY 1"""
 
 
+def q_rank_admission(spark, sf_dir):
+    """End-to-end authority-prioritized admission: PageRank over the URL
+    graph → frontier priority (linkgraph.priority_from_rank) → per-host
+    politeness budget (compose_wave, 10 s wave / 1000 ms delay ⇒ 10 per
+    host). The admitted set is the per-host top-10 by (-rank, seq) — the
+    carried-over re-listings (2 in-links) outrank single-listing pages."""
+    pages = _pages(spark, sf_dir)
+    cand = wv.collect_candidates(pages, seed_search_url())
+    fresh = dd.first_occurrence(cand, "doi", "seq")
+    pending = fr.enqueue(fresh, wave=0, logical_now=LOGICAL_NOW)
+    ranked = lg.priority_from_rank(
+        pending, lg.pagerank(_url_edges(spark, sf_dir), n_iter=5))
+    policy = po.default_host_policy(
+        spark, ranked.select("host").distinct(), crawl_delay_ms=1000)
+    return (po.compose_wave(ranked, policy, wave_seconds=10)
+            .select("url", "host", "priority", "seq"))
+
+
+def _sql_rank_admission() -> str:
+    return f"""WITH {_sql_pagerank_cte()},
+pend AS (
+  SELECT d.url, d.host, d.seq,
+         CASE WHEN r.rank IS NOT NULL THEN (-(r.rank // 1024))::INT
+              ELSE 0 END AS priority
+  FROM d LEFT JOIN r5 r ON r.url = d.url),
+adm AS (
+  SELECT url, host, priority, seq,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority, seq) AS rn
+  FROM pend)
+SELECT url, host, priority, seq FROM adm WHERE rn <= 10"""
+
+
 def q_media_frames(spark, sf_dir):
     """Frame sampling over video payloads (row-multiplying mapInPandas;
     deterministic byte-slicing stub — pure arithmetic, so SQL-checkable)."""
@@ -1603,6 +1636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "url_pagerank": q_url_pagerank,
     "host_authority": q_host_authority,
+    "rank_admission": q_rank_admission,
     "media_frames": q_media_frames,
     "multiwave_crawl": q_multiwave_crawl,
 }
@@ -1663,6 +1697,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_clusters": _sql_dedup_clusters(),
         "url_pagerank": _sql_url_pagerank(),
         "host_authority": _sql_host_authority(),
+        "rank_admission": _sql_rank_admission(),
         "media_frames": SQL_MEDIA_FRAMES,
         "multiwave_crawl": SQL_MULTIWAVE,
     }

@@ -48,6 +48,22 @@ def test_pagerank_star_and_chain(spark):
     assert got["H"] == max(got.values())
 
 
+def test_priority_from_rank_orders_authority_first(spark):
+    edges = [("A", "B"), ("C", "B"), ("A", "C")]
+    ranks = lg.pagerank(
+        spark.createDataFrame(edges, "src string, dst string"), n_iter=3)
+    frontier = spark.createDataFrame(
+        [("B", 0, 1), ("C", 0, 2), ("Z", 0, 3)],
+        "url string, priority int, seq long")
+    got = {r["url"]: r["priority"]
+           for r in lg.priority_from_rank(frontier, ranks).collect()}
+    seq = pagerank_seq(edges, 3)
+    assert got == {"B": -(seq["B"] // 1024), "C": -(seq["C"] // 1024), "Z": 0}
+    # admission sorts ascending (priority, seq): 2-in-link B first, then C,
+    # then the unranked URL draining FIFO last.
+    assert got["B"] < got["C"] < got["Z"]
+
+
 def test_host_rollup_sums_members(spark):
     edges = [("https://a.org/1", "https://a.org/2"),
              ("https://a.org/2", "https://b.org/1")]
