@@ -113,6 +113,18 @@ def main() -> None:
         docs, docs.filter(F.col("doc_id") % 37 == 1)
         .select(F.col("doc_id").alias("bench_id"), "text"))))
 
+    # ---- iterative graph ops (fixed-point PageRank, closure contraction) --
+    from s_crawler_spark.operators import linkgraph as lg
+    from s_crawler_spark.plans import contract as ct
+    bench("url_pagerank", lambda: _noop_write(
+        lg.pagerank(ct._url_edges(spark, SF_DIR), n_iter=5)))
+    bench("dedup_clusters", lambda: _noop_write(td.near_dup_clusters(
+        td.minhash_lsh_pairs(docs.filter(F.col("doc_id") < 2000),
+                             threshold=0.7))))
+    from s_crawler_spark.operators import recrawl as rcw
+    bench("recrawl_schedule", lambda: _noop_write(
+        rcw.recrawl_schedule(ct._fetch_history(spark, SF_DIR))))
+
     def _queries_df():
         return emb.filter(F.col("vec_id") < 32).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))

@@ -140,6 +140,43 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     )
 
 
+MIN_CRAWL_DELAY_MS = 100
+MAX_CRAWL_DELAY_MS = 120_000
+
+
+def adapt_host_policy(host_policy: DataFrame, results: DataFrame,
+                      min_delay_ms: int = MIN_CRAWL_DELAY_MS,
+                      max_delay_ms: int = MAX_CRAWL_DELAY_MS) -> DataFrame:
+    """AIMD per-host crawl-delay update from one wave's fetch outcomes.
+
+    The reference reacts to server pushback by sleeping longer inside the
+    fetch loop (src/utils/download_utils.py exponential retry sleeps); at
+    wave granularity the equivalent control loop is a *policy table update*
+    between waves: any failure on a host doubles its crawl delay (clamped
+    to ``max_delay_ms``), an all-success wave decays it to 3/4 (clamped to
+    ``min_delay_ms``), hosts with no outcomes this wave keep their delay.
+    Integer arithmetic (div) throughout, so successive applications are
+    engine-exact and replayable.
+
+    ``results`` carries (host, success:boolean) — the wave fetch log.
+    Returns the new host_policy with identical schema. Scale shape: one
+    groupBy host over boolean flags (partial-aggregated map-side), then an
+    equi-join against the policy dimension keyed on host — never larger
+    than #hosts rows on either side.
+    """
+    tally = results.groupBy("host").agg(
+        F.sum(F.when(F.col("success"), 0).otherwise(1)).alias("__n_fail"))
+    joined = host_policy.join(tally, "host", "left")
+    new_delay = (
+        F.when(F.col("__n_fail").isNull(), F.col("crawl_delay_ms"))
+        .when(F.col("__n_fail") > 0,
+              F.least(F.lit(max_delay_ms), F.col("crawl_delay_ms") * 2))
+        .otherwise(F.greatest(F.lit(min_delay_ms),
+                              F.expr("crawl_delay_ms * 3 div 4").cast("int"))))
+    return joined.withColumn("crawl_delay_ms", new_delay.cast("int")) \
+                 .drop("__n_fail")
+
+
 _WS = " \t\r"  # robots.txt line/value trim set (CRLF bodies leave a trailing
 # \r on every split line; tabs are legal blank padding per RFC 9309 §2.2)
 

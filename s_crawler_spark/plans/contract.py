@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..corpus import (CARDS_PER_PAGE, DUP_CARRYOVER, MONTHS, SUBJECTS,
@@ -33,6 +33,7 @@ from ..operators import dedup as dd
 from ..operators import frontier as fr
 from ..operators import multimodal as mm
 from ..operators import politeness as po
+from ..operators import recrawl as rc
 from ..operators import similarity as sim
 from ..operators import textdedup as td
 from ..operators import textstats as ts
@@ -1369,6 +1370,107 @@ adm AS (
 SELECT url, host, priority, seq FROM adm WHERE rn <= 10"""
 
 
+def _fetch_history(spark, sf_dir, n_waves: int = 5) -> DataFrame:
+    """Synthetic fetch-history table (url, wave, content_md5): every catalog
+    URL fetched in waves 0..n-1, content version bumped by the deterministic
+    change pattern (doc_id*7 + wave*13) % 5 == 0 — pure arithmetic, so the
+    oracle reconstructs the identical md5 stream."""
+    w = Window.partitionBy("url").orderBy("wave")
+    return (_derived(_docs(spark, sf_dir))
+            .select("url", "doc_id")
+            .withColumn("wave", F.explode(F.sequence(F.lit(0),
+                                                     F.lit(n_waves - 1))))
+            .withColumn("chg", F.expr(
+                "if(wave > 0 AND (doc_id * 7 + wave * 13) % 5 = 0, 1, 0)"))
+            .withColumn("version", F.sum("chg").over(w))
+            .select("url", "wave",
+                    F.md5(F.concat_ws("#", "url", "version"))
+                    .alias("content_md5")))
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness scheduling: AIMD revisit intervals folded over each URL's
+    5-wave content-hash history (operators/recrawl.py) — change halves the
+    interval, stability grows it by one wave. The operator derives change
+    flags from md5 adjacency itself; the oracle replays the fold with
+    lag() + list_reduce over the reconstructed history."""
+    return (rc.recrawl_schedule(_fetch_history(spark, sf_dir))
+            .select("url", "n_fetches", "n_changes", "interval",
+                    "next_fetch_wave"))
+
+
+def _sql_recrawl_schedule() -> str:
+    i0, lo, hi = rc.INTERVAL0, rc.MIN_INTERVAL, rc.MAX_INTERVAL
+    return f"""WITH {D_CTE},
+h0 AS (
+  SELECT d.url, d.doc_id, w.wave,
+         CASE WHEN w.wave > 0 AND (d.doc_id * 7 + w.wave * 13) % 5 = 0
+              THEN 1 ELSE 0 END AS chg
+  FROM d, (SELECT unnest(range(0, 5)) AS wave) w),
+h AS (
+  SELECT url, wave,
+         md5(url || '#' ||
+             (sum(chg) OVER (PARTITION BY url ORDER BY wave))::VARCHAR)
+           AS content_md5
+  FROM h0),
+c AS (
+  SELECT url, wave,
+         row_number() OVER (PARTITION BY url ORDER BY wave) AS rn,
+         CASE WHEN content_md5 <>
+                   lag(content_md5) OVER (PARTITION BY url ORDER BY wave)
+              THEN 1 ELSE 0 END AS f
+  FROM h),
+g AS (
+  SELECT url, count(*)::INT AS n_fetches, max(wave)::INT AS last_wave,
+         coalesce(list(f ORDER BY wave) FILTER (WHERE rn > 1), []) AS fl
+  FROM c GROUP BY url)
+SELECT url, n_fetches,
+       list_sum(fl)::INT AS n_changes,
+       list_reduce(list_prepend({i0}, fl),
+                   (s, x) -> CASE WHEN x = 1 THEN greatest({lo}, s // 2)
+                                  ELSE least({hi}, s + 1) END)::INT
+         AS interval,
+       (last_wave + list_reduce(list_prepend({i0}, fl),
+                   (s, x) -> CASE WHEN x = 1 THEN greatest({lo}, s // 2)
+                                  ELSE least({hi}, s + 1) END))::INT
+         AS next_fetch_wave
+FROM g"""
+
+
+def q_adaptive_policy(spark, sf_dir):
+    """Two waves of AIMD crawl-delay adaptation (politeness.adapt_host_policy):
+    wave-1 outcomes fail where doc_id % 97 == 3, wave-2 where
+    doc_id % 89 == 7 — hosts with any failure double their delay (clamped),
+    all-success hosts decay to 3/4, so the compounded per-host delays pin
+    both branches and their composition."""
+    d = _derived(_docs(spark, sf_dir))
+    policy = po.default_host_policy(
+        spark, d.select("host").distinct(), crawl_delay_ms=1000)
+    out1 = d.select("host", (F.col("doc_id") % 97 != 3).alias("success"))
+    out2 = d.select("host", (F.col("doc_id") % 89 != 7).alias("success"))
+    p1 = po.adapt_host_policy(policy, out1)
+    p2 = po.adapt_host_policy(p1, out2)
+    return p2.select("host", "crawl_delay_ms")
+
+
+def _sql_adaptive_policy() -> str:
+    lo, hi = po.MIN_CRAWL_DELAY_MS, po.MAX_CRAWL_DELAY_MS
+    return f"""WITH {D_CTE},
+t1 AS (SELECT host, sum(CASE WHEN doc_id % 97 = 3 THEN 1 ELSE 0 END) AS nf
+       FROM d GROUP BY host),
+t2 AS (SELECT host, sum(CASE WHEN doc_id % 89 = 7 THEN 1 ELSE 0 END) AS nf
+       FROM d GROUP BY host),
+p1 AS (SELECT t1.host,
+              CASE WHEN t1.nf > 0 THEN least({hi}, 1000 * 2)
+                   ELSE greatest({lo}, 1000 * 3 // 4) END AS delay
+       FROM t1),
+p2 AS (SELECT p1.host,
+              CASE WHEN t2.nf > 0 THEN least({hi}, p1.delay * 2)
+                   ELSE greatest({lo}, p1.delay * 3 // 4) END AS delay
+       FROM p1 JOIN t2 ON t2.host = p1.host)
+SELECT host, delay::INT AS crawl_delay_ms FROM p2"""
+
+
 def q_media_frames(spark, sf_dir):
     """Frame sampling over video payloads (row-multiplying mapInPandas;
     deterministic byte-slicing stub — pure arithmetic, so SQL-checkable)."""
@@ -1637,6 +1739,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_pagerank": q_url_pagerank,
     "host_authority": q_host_authority,
     "rank_admission": q_rank_admission,
+    "recrawl_schedule": q_recrawl_schedule,
+    "adaptive_policy": q_adaptive_policy,
     "media_frames": q_media_frames,
     "multiwave_crawl": q_multiwave_crawl,
 }
@@ -1698,6 +1802,8 @@ def build_oracles() -> dict[str, str]:
         "url_pagerank": _sql_url_pagerank(),
         "host_authority": _sql_host_authority(),
         "rank_admission": _sql_rank_admission(),
+        "recrawl_schedule": _sql_recrawl_schedule(),
+        "adaptive_policy": _sql_adaptive_policy(),
         "media_frames": SQL_MEDIA_FRAMES,
         "multiwave_crawl": SQL_MULTIWAVE,
     }

@@ -1,0 +1,83 @@
+"""recrawl.recrawl_schedule AIMD fold + politeness.adapt_host_policy vs
+hand-computed sequences (integer arithmetic, so equality is exact)."""
+
+from pyspark.sql import functions as F
+
+from s_crawler_spark.operators import politeness as po
+from s_crawler_spark.operators import recrawl as rc
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, wave int, content_md5 string")
+
+
+def _sched(spark, rows):
+    return {r["url"]: r.asDict()
+            for r in rc.recrawl_schedule(_hist(spark, rows)).collect()}
+
+
+def test_schedule_hand_fold(spark):
+    # u1: md5 stream a a b b c  -> flags 0 1 0 1
+    #     interval 4 ->5 ->2 ->3 ->1 ; next = 4 + 1
+    # u2: static   x x x        -> flags 0 0 -> 4 ->5 ->6 ; next = 2 + 6
+    # u3: single fetch          -> no flags  -> 4        ; next = 0 + 4
+    rows = ([("u1", w, m) for w, m in enumerate("aabbc")]
+            + [("u2", w, "x") for w in range(3)]
+            + [("u3", 0, "y")])
+    got = _sched(spark, rows)
+    assert got["u1"] == {"url": "u1", "n_fetches": 5, "n_changes": 2,
+                         "interval": 1, "next_fetch_wave": 5}
+    assert got["u2"] == {"url": "u2", "n_fetches": 3, "n_changes": 0,
+                         "interval": 6, "next_fetch_wave": 8}
+    assert got["u3"] == {"url": "u3", "n_fetches": 1, "n_changes": 0,
+                         "interval": 4, "next_fetch_wave": 4}
+
+
+def test_schedule_clamps(spark):
+    # every-fetch change pins the interval at MIN_INTERVAL
+    churn = [("c", w, str(w)) for w in range(6)]
+    got = _sched(spark, churn)["c"]
+    assert got["interval"] == rc.MIN_INTERVAL
+    assert got["n_changes"] == 5
+    # order of ingestion must not matter (sort_array owns the wave order)
+    got_rev = _sched(spark, list(reversed(churn)))["c"]
+    assert got == got_rev
+
+
+def test_due_for_recrawl_filters(spark):
+    rows = [("u1", w, m) for w, m in enumerate("aabbc")] \
+        + [("u2", w, "x") for w in range(3)]
+    sched = rc.recrawl_schedule(_hist(spark, rows))
+    due = {r["url"] for r in rc.due_for_recrawl(sched, 5).collect()}
+    assert due == {"u1"}  # u1 due at wave 5, u2 not until 8
+
+
+def _policy(spark, hosts, delay):
+    return po.default_host_policy(spark, hosts, crawl_delay_ms=delay)
+
+
+def _adapt(spark, policy, rows):
+    res = spark.createDataFrame(rows, "host string, success boolean")
+    return {r["host"]: r["crawl_delay_ms"]
+            for r in po.adapt_host_policy(policy, res).collect()}
+
+
+def test_adapt_branches(spark):
+    pol = _policy(spark, ["a", "b", "c"], 1000)
+    got = _adapt(spark, pol, [("a", False), ("a", True), ("b", True)])
+    assert got == {"a": 2000,   # any failure doubles
+                   "b": 750,    # all-success decays 3/4
+                   "c": 1000}   # no outcomes -> unchanged
+
+
+def test_adapt_clamps_and_schema(spark):
+    pol = _policy(spark, ["hi", "lo"], po.MAX_CRAWL_DELAY_MS)
+    got = _adapt(spark, pol, [("hi", False)])
+    assert got["hi"] == po.MAX_CRAWL_DELAY_MS  # already at ceiling
+    low = _policy(spark, ["lo"], po.MIN_CRAWL_DELAY_MS)
+    assert _adapt(spark, low, [("lo", True)])["lo"] == po.MIN_CRAWL_DELAY_MS
+    # output schema is a valid host_policy (compose_wave can consume it)
+    out = po.adapt_host_policy(pol, spark.createDataFrame(
+        [("hi", True)], "host string, success boolean"))
+    assert out.columns == pol.columns

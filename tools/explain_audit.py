@@ -267,6 +267,48 @@ def main() -> int:
                           and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)])),
     ])
 
+    # ---- rank-fed admission: authority join + two-phase budget -----------
+    ranked = lg.priority_from_rank(
+        pend, lg.pagerank(ct._url_edges(spark, sf_dir), n_iter=2))
+    p10 = plan_of(po.compose_wave(ranked, policy, wave_seconds=10))
+    exch10 = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+              for b in re.split(r"\n\n", p10)
+              if re.match(r"\(\d+\) Exchange",
+                          (b.splitlines()[0] if b.strip() else "").strip())
+              and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    all_ok &= audit("rank_admission (pagerank -> priority -> compose_wave)", p10, [
+        ("rank joins onto the frontier as an equi hash join (no "
+         "BNLJ/cartesian beyond pagerank's bounded 1-row max_page "
+         "broadcast)",
+         "NestedLoop" not in p10.replace(
+             "BroadcastNestedLoopJoin BuildRight, Cross", "", 2)
+         and "CartesianProduct" not in p10),
+        ("two-phase admission survives the priority rewrite "
+         "(2 Window nodes, __lrank prune)",
+         len(re.findall(r"\(\d+\) Window", p10)) >= 2 and "__lrank" in p10),
+        ("no Exchange carries html/text (rank state is (url, rank) longs)",
+         not any(w in cols for w in ("html", "text", "embedding")
+                 for cols in exch10)),
+    ])
+
+    # ---- recrawl schedule: ONE url-keyed shuffle of (wave, md5) ----------
+    from s_crawler_spark.operators import recrawl as rcw
+    hist = ct._fetch_history(spark, sf_dir)
+    p11 = plan_of(rcw.recrawl_schedule(hist))
+    exch11 = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+              for b in re.split(r"\n\n", p11)
+              if re.match(r"\(\d+\) Exchange",
+                          (b.splitlines()[0] if b.strip() else "").strip())
+              and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    all_ok &= audit("recrawl_schedule (AIMD freshness fold)", p11, [
+        ("no joins at all — one groupBy-url aggregation",
+         "Join" not in p11),
+        ("no Exchange carries page content (history rows are "
+         "(url, wave, md5))", not any(
+             w in cols for w in ("html", "text", "embedding")
+             for cols in exch11)),
+    ])
+
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
     return 0 if all_ok else 1
 
