@@ -218,22 +218,36 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
           n_shards: int = 8,
           max_waves: int = 50,
           salt_buckets: int | None = None,
-          resume: bool = True) -> DataFrame:
+          resume: bool = True,
+          adaptive_delay: bool = False) -> DataFrame:
     """Run (or resume) a full crawl to completion. Every wave commits
     frontier / seen / seen_shards / articles / fetch_log snapshots; killing
     the driver between waves and calling crawl() again continues from the
     last committed wave (pytest: tests/test_resume.py).
 
+    ``adaptive_delay=True`` turns on the AIMD politeness control loop
+    (politeness.adapt_host_policy): after each wave, any host with a failed
+    fetch doubles its crawl delay and an all-success host decays to 3/4.
+    The adapted policy is wave state — committed as a ``host_policy``
+    snapshot and restored on resume, so a killed-and-resumed crawl keeps
+    its learned delays. The final article SET is unchanged (seq is
+    assigned at discovery and survives any admission order); only the
+    per-wave admission pacing shifts. Off by default: the reference-parity
+    contract (same politeness budget ⇒ same crawl order) is the
+    non-adaptive mode.
+
     Returns the final articles catalog in crawl order.
     """
     start_wave = 0
-    frontier_df = catalog = seen_df = cand_store = None
+    frontier_df = catalog = seen_df = cand_store = policy_df = None
     if resume and store.latest_wave("frontier") is not None:
         start_wave = store.latest_wave("frontier") + 1
         frontier_df = store.read(spark, "frontier")
         catalog = store.read(spark, "articles")
         seen_df = store.read(spark, "seen")
         cand_store = store.read(spark, "candidates")
+        if adaptive_delay and store.latest_wave("host_policy") is not None:
+            policy_df = store.read(spark, "host_policy")
 
     meta_cols = ["url", "title", "doi", "journal", "publication_date", "authors"]
 
@@ -281,7 +295,17 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
 
         # --- politeness-budgeted wave composition + skew salting ---
         pending = fr.eligible_pending(frontier_df, logical_now)
-        if robots_policy is not None:
+        if adaptive_delay and policy_df is not None:
+            # adapted state from previous waves (or a resumed snapshot);
+            # hosts first seen this wave join at the same default a fresh
+            # policy would have given them, then adapt like the rest
+            fill_ms = (1000 if robots_policy is not None
+                       else po.DEFAULT_CRAWL_DELAY_MS)
+            missing = pending.select("host").distinct() \
+                .join(policy_df.select("host"), on="host", how="left_anti")
+            policy = policy_df.unionByName(
+                po.default_host_policy(spark, missing, crawl_delay_ms=fill_ms))
+        elif robots_policy is not None:
             # hosts with no robots.txt fall back to a 1 s default delay
             missing = pending.select("host").distinct() \
                 .join(robots_policy.select("host"), on="host", how="left_anti")
@@ -343,6 +367,15 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # A3 / north rule: per-partition lineage + fetch/parse metrics are
         # wave state too — committed so a resumed run keeps the full ledger
         commit_timed(lineage.withColumn("wave", F.lit(wave)), "lineage")
+        if adaptive_delay:
+            # AIMD politeness update from this wave's per-host outcomes;
+            # committed as wave state so resume keeps the learned delays
+            host_results = fetched.select(
+                scalars.url_host(F.col("url")).alias("host"),
+                F.col("downloaded").alias("success"))
+            commit_timed(po.adapt_host_policy(policy, host_results),
+                         "host_policy")
+            policy_df = store.read(spark, "host_policy")
         store.commit(
             spark.createDataFrame(phase_ms, "wave int, phase string, ms long"),
             "phase_log", wave)

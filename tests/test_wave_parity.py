@@ -192,3 +192,32 @@ def test_crawl_commits_phase_log(spark, pages, tmp_path):
     assert {"frontier", "articles", "seen", "candidates", "seen_shards",
             "fetch_log", "lineage"} <= phases
     assert all(r["ms"] >= 0 for r in rows)
+
+
+def test_adaptive_delay_crawl(spark, pages, pages_dict, tmp_path):
+    """AIMD politeness control loop: the adapted per-host delays are wave
+    state (committed + resumed), and the final article catalog is still
+    byte-identical to the reference simulator — adaptation changes pacing,
+    never the result set (seq is discovery-assigned)."""
+    from s_crawler_spark.operators import politeness as po
+
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "adapt"))
+    # crash after 2 waves, resume: the learned delays must survive
+    crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+          max_waves=2, n_shards=4, adaptive_delay=True)
+    pol_mid = {r["host"]: r["crawl_delay_ms"]
+               for r in store.read(spark, "host_policy").collect()}
+    assert pol_mid, "host_policy snapshot missing after wave commit"
+    assert all(po.MIN_CRAWL_DELAY_MS <= v <= po.MAX_CRAWL_DELAY_MS
+               for v in pol_mid.values())
+    # the corpus crawl succeeds on every admitted URL, so every host with
+    # outcomes decays below the 1 s robots-default delay
+    assert any(v < 1000 for v in pol_mid.values())
+    cat = crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+                max_waves=30, n_shards=4, adaptive_delay=True)
+    assert_parity(cat.collect(), sim)
+    pol_end = {r["host"]: r["crawl_delay_ms"]
+               for r in store.read(spark, "host_policy").collect()}
+    # monotone decay for all-success hosts: no host got slower
+    assert all(pol_end[h] <= d for h, d in pol_mid.items() if h in pol_end)
