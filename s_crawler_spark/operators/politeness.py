@@ -91,13 +91,17 @@ def robots_allowed(url_col, disallow_col, allow_col=None):
 
 
 def compose_wave(pending: DataFrame, host_policy: DataFrame,
-                 wave_seconds: int) -> DataFrame:
+                 wave_seconds: int,
+                 host_budget: DataFrame | None = None) -> DataFrame:
     """Select this wave's fetch set under per-host politeness budgets.
 
     Per host: admit the first ``floor(wave_seconds*1000 / crawl_delay_ms)``
     eligible rows by (priority, seq) — FIFO within priority, matching the
     reference's id-ordered drain (src/database_manager.py:199). Hosts missing
     from the policy get the default delay. Robots-disallowed rows are dropped.
+    An explicit ``host_budget`` table (host, host_budget — e.g. from
+    apportion_budget) overrides the delay-derived budget; hosts absent from
+    it are admitted nowhere this wave.
 
     Scale notes: the policy join is an explicit broadcast, and admission is
     a TWO-PHASE bounded top-k. A single per-host window would sort ALL of
@@ -117,10 +121,17 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     joined = joined.withColumn(
         "crawl_delay_ms",
         F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)))
-    joined = joined.withColumn(
-        "host_budget",
-        F.greatest(F.lit(1),
-                   (F.lit(wave_seconds * 1000) / F.col("crawl_delay_ms")).cast("int")))
+    if host_budget is None:
+        joined = joined.withColumn(
+            "host_budget",
+            F.greatest(F.lit(1),
+                       (F.lit(wave_seconds * 1000) / F.col("crawl_delay_ms")).cast("int")))
+    else:
+        # capacity-apportioned budgets (apportion_budget) are authoritative:
+        # hosts absent from the allocation wait for a future wave (budget 0)
+        joined = joined.join(F.broadcast(host_budget), on="host", how="left") \
+            .withColumn("host_budget",
+                        F.coalesce(F.col("host_budget"), F.lit(0)))
     allowed = joined.filter(
         F.col("robots_disallow").isNull()
         | robots_allowed(F.col("url"), F.col("robots_disallow"),
@@ -138,6 +149,55 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
         .drop("__rank", "host_budget", "crawl_delay_ms",
               "robots_disallow", "robots_allow", "user_agent")
     )
+
+
+def apportion_budget(host_rank: DataFrame, total_budget: int) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global wave budget
+    across hosts, proportional to link authority.
+
+    compose_wave's per-host budget is delay-derived (politeness bound);
+    when the *cluster's* fetch capacity is the binding constraint, the
+    scheduler instead splits a global ``total_budget`` of fetch slots by
+    ``host_rank`` (linkgraph.host_rank_rollup): each host gets
+    ``floor(total_budget * rank / total_rank)`` slots, and the leftover
+    ``r < #hosts`` slots go to the largest fractional remainders
+    (ties broken by host name — deterministic, engine-exact; all-integer
+    arithmetic, so the split reproduces bit-for-bit on any cluster).
+    Hosts allocated 0 slots simply wait for a future wave.
+
+    Scale shape: one scalar total (map-side-combined sum), then a bounded
+    top-r selection over per-host remainders — two-phase (local rank
+    per partition pruned to ≤ r, then the authoritative window), the same
+    prefix-stable pattern as compose_wave's admission, so no task ever
+    sorts more than r × n_partitions rows even at 10^8 hosts.
+    """
+    tot = host_rank.agg(F.sum("host_rank").alias("__t"))
+    j = host_rank.join(F.broadcast(tot))
+    # nullif: an all-zero/empty rank table must not ANSI-fail the div —
+    # it degrades to a zero allocation (callers fall back to delay budgets)
+    base = (j.withColumn("__q", F.expr(
+                f"cast({total_budget} as bigint) * host_rank"))
+             .withColumn("__base", F.expr("__q div nullif(__t, 0)"))
+             .withColumn("__rem", F.expr("__q % nullif(__t, 0)"))
+             .localCheckpoint(eager=False))
+    leftover = base.agg(
+        (F.lit(total_budget) - F.sum("__base")).alias("__r")).collect()[0]["__r"]
+    if leftover is None:  # zero total authority: nothing to apportion
+        return host_rank.select(
+            "host", F.lit(0).cast("int").alias("host_budget"))
+    lw = Window.partitionBy("__pid").orderBy(F.desc("__rem"), F.asc("host"))
+    w = Window.orderBy(F.desc("__rem"), F.asc("host"))
+    pruned = (base.withColumn("__pid", F.spark_partition_id())
+              .withColumn("__lrank", F.row_number().over(lw))
+              .filter(F.col("__lrank") <= F.lit(int(leftover)))
+              .drop("__pid", "__lrank"))
+    topped = pruned.withColumn("__rank", F.row_number().over(w)) \
+        .filter(F.col("__rank") <= F.lit(int(leftover))) \
+        .select("host", F.lit(1).alias("__extra"))
+    return (base.join(topped, "host", "left")
+            .select("host",
+                    (F.col("__base") + F.coalesce(F.col("__extra"), F.lit(0)))
+                    .cast("int").alias("host_budget")))
 
 
 MIN_CRAWL_DELAY_MS = 100

@@ -1388,6 +1388,38 @@ def _fetch_history(spark, sf_dir, n_waves: int = 5) -> DataFrame:
                     .alias("content_md5")))
 
 
+def q_authority_budget(spark, sf_dir):
+    """Largest-remainder apportionment of a 100-slot global wave budget
+    across hosts proportional to PageRank authority
+    (politeness.apportion_budget over linkgraph.host_rank_rollup) —
+    all-integer Hamilton method, so the slot split is engine-exact."""
+    roll = lg.host_rank_rollup(lg.pagerank(_url_edges(spark, sf_dir),
+                                           n_iter=5))
+    return po.apportion_budget(roll, total_budget=100) \
+        .select("host", "host_budget")
+
+
+def _sql_authority_budget() -> str:
+    return f"""WITH {_sql_pagerank_cte()},
+hr AS (
+  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         sum(rank)::BIGINT AS host_rank
+  FROM r5 GROUP BY 1),
+b AS (
+  SELECT host, host_rank,
+         (100 * host_rank) // (SELECT sum(host_rank) FROM hr) AS base,
+         (100 * host_rank) % (SELECT sum(host_rank) FROM hr) AS rem
+  FROM hr),
+t AS (
+  SELECT host, base,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rk,
+         (SELECT 100 - sum(base) FROM b) AS leftover
+  FROM b)
+SELECT host,
+       (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)::INT AS host_budget
+FROM t"""
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Freshness scheduling: AIMD revisit intervals folded over each URL's
     5-wave content-hash history (operators/recrawl.py) — change halves the
@@ -1739,6 +1771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_pagerank": q_url_pagerank,
     "host_authority": q_host_authority,
     "rank_admission": q_rank_admission,
+    "authority_budget": q_authority_budget,
     "recrawl_schedule": q_recrawl_schedule,
     "adaptive_policy": q_adaptive_policy,
     "media_frames": q_media_frames,
@@ -1802,6 +1835,7 @@ def build_oracles() -> dict[str, str]:
         "url_pagerank": _sql_url_pagerank(),
         "host_authority": _sql_host_authority(),
         "rank_admission": _sql_rank_admission(),
+        "authority_budget": _sql_authority_budget(),
         "recrawl_schedule": _sql_recrawl_schedule(),
         "adaptive_policy": _sql_adaptive_policy(),
         "media_frames": SQL_MEDIA_FRAMES,

@@ -81,3 +81,50 @@ def test_adapt_clamps_and_schema(spark):
     out = po.adapt_host_policy(pol, spark.createDataFrame(
         [("hi", True)], "host string, success boolean"))
     assert out.columns == pol.columns
+
+
+# ---- authority-proportional budget apportionment -------------------------
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(rows, "host string, host_rank long")
+
+
+def _apportion(spark, rows, budget):
+    return {r["host"]: r["host_budget"]
+            for r in po.apportion_budget(_rank_df(spark, rows), budget).collect()}
+
+
+def test_apportion_hamilton_exact(spark):
+    # quotas for 10 slots over 5:3:2 -> exact 5,3,2 (no remainders)
+    assert _apportion(spark, [("a", 5), ("b", 3), ("c", 2)], 10) == \
+        {"a": 5, "b": 3, "c": 2}
+    # 7 slots over 1:1:1 -> base 2 each, remainder 1 goes to lowest host name
+    assert _apportion(spark, [("a", 1), ("b", 1), ("c", 1)], 7) == \
+        {"a": 3, "b": 2, "c": 2}
+    # classic Hamilton: 25 slots over 47:29:24 -> quotas 11.75/7.25/6.0
+    #  -> base 11,7,6 (sum 24), largest remainder (.75) takes the last slot
+    assert _apportion(spark, [("x", 47), ("y", 29), ("z", 24)], 25) == \
+        {"x": 12, "y": 7, "z": 6}
+
+
+def test_apportion_sums_to_budget_and_zero_guard(spark):
+    got = _apportion(spark, [("h%d" % i, (i * 37) % 11 + 1) for i in range(20)], 101)
+    assert sum(got.values()) == 101
+    # zero authority everywhere degrades to zero allocation, not a crash
+    assert _apportion(spark, [("a", 0), ("b", 0)], 10) == {"a": 0, "b": 0}
+
+
+def test_compose_wave_budget_override(spark):
+    from tests.test_frontier import T0, make_candidates
+    from s_crawler_spark.operators import frontier as fr
+    frontier = fr.enqueue(make_candidates(spark, 30), wave=0, logical_now=T0)
+    policy = po.default_host_policy(spark, ["h0.org", "h1.org", "h2.org"],
+                                    crawl_delay_ms=1000)
+    alloc = spark.createDataFrame([("h0.org", 5), ("h1.org", 1)],
+                                  "host string, host_budget int")
+    batch = po.compose_wave(fr.eligible_pending(frontier, T0), policy,
+                            wave_seconds=4, host_budget=alloc)
+    got = {r["host"]: r["count"]
+           for r in batch.groupBy("host").count().collect()}
+    # override is authoritative: h2 absent from the allocation waits
+    assert got == {"h0.org": 5, "h1.org": 1}

@@ -291,6 +291,21 @@ def main() -> int:
                  for cols in exch10)),
     ])
 
+    # ---- authority budget: two-phase bounded top-r apportionment ---------
+    roll = lg.host_rank_rollup(lg.pagerank(ct._url_edges(spark, sf_dir),
+                                           n_iter=2))
+    p12 = plan_of(po.apportion_budget(roll, total_budget=100))
+    all_ok &= audit("apportion_budget (largest-remainder)", p12, [
+        ("leftover top-r is two-phase (local __lrank prune before the "
+         "global remainder window)",
+         "__lrank" in p12 and len(re.findall(r"\(\d+\) Window", p12)) >= 2),
+        ("only the bounded 1-row total joins as a broadcast cross (no "
+         "unbounded BNLJ/cartesian)",
+         "NestedLoop" not in p12.replace(
+             "BroadcastNestedLoopJoin BuildRight, Cross", "", 3)
+         and "CartesianProduct" not in p12),
+    ])
+
     # ---- recrawl schedule: ONE url-keyed shuffle of (wave, md5) ----------
     from s_crawler_spark.operators import recrawl as rcw
     hist = ct._fetch_history(spark, sf_dir)
