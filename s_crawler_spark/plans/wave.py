@@ -219,7 +219,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
           max_waves: int = 50,
           salt_buckets: int | None = None,
           resume: bool = True,
-          adaptive_delay: bool = False) -> DataFrame:
+          adaptive_delay: bool = False,
+          expire_keep: int | None = None) -> DataFrame:
     """Run (or resume) a full crawl to completion. Every wave commits
     frontier / seen / seen_shards / articles / fetch_log snapshots; killing
     the driver between waves and calling crawl() again continues from the
@@ -384,6 +385,15 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         catalog = store.read(spark, "articles")
         seen_df = store.read(spark, "seen")
         cand_store = store.read(spark, "candidates")
+
+        if expire_keep is not None:
+            # bound snapshot storage to expire_keep × live state (each wave
+            # commits FULL state tables). Only the state tables expire —
+            # fetch_log / lineage / phase_log are per-wave ledgers whose
+            # history IS the data, so they are never dropped.
+            for t in ("frontier", "articles", "seen", "candidates",
+                      "seen_shards", "host_policy"):
+                store.expire_snapshots(t, keep=expire_keep)
 
         n_pending = frontier_df.filter(F.col("status") == fr.STATUS_PENDING).count()
         if n_pending == 0:

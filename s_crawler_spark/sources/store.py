@@ -65,7 +65,11 @@ class SnapshotStore:
         os.makedirs(tdir, exist_ok=True)
         manifest = self._load_manifest(table)
         existing = [s for s in manifest["snapshots"] if s["wave"] == wave]
-        snap_id = existing[0]["id"] if existing else len(manifest["snapshots"])
+        # max+1, NOT len(): after expire_snapshots the manifest is shorter
+        # than the id space, and len() would re-issue a LIVE snapshot's id
+        # and overwrite its files under readers
+        snap_id = (existing[0]["id"] if existing else
+                   max((s["id"] for s in manifest["snapshots"]), default=-1) + 1)
         path = os.path.join(tdir, f"snap-{snap_id}")
         df.write.mode("overwrite").parquet(path)
         entry = {"id": snap_id, "wave": wave, "path": path, "meta": meta or {}}
@@ -95,3 +99,44 @@ class SnapshotStore:
     def latest_wave(self, table: str) -> int | None:
         snaps = self.snapshots(table)
         return snaps[-1]["wave"] if snaps else None
+
+    def tables(self) -> list[str]:
+        return sorted(
+            t for t in os.listdir(self.root)
+            if os.path.isfile(self._manifest_path(t)))
+
+    def expire_snapshots(self, table: str | None = None,
+                         keep: int = 2) -> int:
+        """Drop all but the newest ``keep`` snapshots per table — the
+        Iceberg ``expireSnapshots(olderThan)`` analogue. Resume needs only
+        the latest snapshot; ``keep >= 2`` retains one time-travel step.
+
+        At a 10^10-URL frontier each snapshot is the full state table, so
+        an unexpired 50-wave crawl stores 50× the live bytes — expiry
+        between waves (or from a janitor job) bounds storage at
+        ``keep × table size``. Crash-safe ordering: the manifest is
+        atomically rewritten FIRST (readers never see an expired entry),
+        then the orphaned snapshot directories are deleted — a crash in
+        between leaves unreachable dirs that the next expiry removes.
+        Returns the number of snapshots expired.
+        """
+        import shutil
+
+        keep = max(1, keep)
+        n = 0
+        for t in ([table] if table is not None else self.tables()):
+            manifest = self._load_manifest(t)
+            snaps = manifest["snapshots"]
+            if len(snaps) <= keep:
+                continue
+            kept, dropped = snaps[-keep:], snaps[:-keep]
+            manifest["snapshots"] = kept
+            self._write_manifest(t, manifest)
+            live = {s["path"] for s in kept}
+            tdir = os.path.join(self.root, t)
+            for d in os.listdir(tdir):  # includes prior-crash orphans
+                p = os.path.join(tdir, d)
+                if d.startswith("snap-") and p not in live:
+                    shutil.rmtree(p, ignore_errors=True)
+            n += len(dropped)
+        return n

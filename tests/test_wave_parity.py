@@ -221,3 +221,31 @@ def test_adaptive_delay_crawl(spark, pages, pages_dict, tmp_path):
                for r in store.read(spark, "host_policy").collect()}
     # monotone decay for all-success hosts: no host got slower
     assert all(pol_end[h] <= d for h, d in pol_mid.items() if h in pol_end)
+
+
+def test_snapshot_expiry_bounds_storage_and_resumes(spark, pages, pages_dict,
+                                                    tmp_path):
+    """expire_keep bounds every state table to `keep` snapshots while the
+    per-wave ledgers (fetch_log/lineage/phase_log) keep full history, and
+    a crash-resume from the expired store still reproduces the reference
+    crawl exactly."""
+    import os
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "exp"))
+    crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+          max_waves=3, n_shards=4, expire_keep=2)
+    n_waves = store.latest_wave("frontier") + 1
+    assert n_waves == 3
+    for t in ("frontier", "articles", "seen", "candidates", "seen_shards"):
+        assert len(store.snapshots(t)) == 2, t
+        # expired parquet dirs are really gone
+        live = {s["path"] for s in store.snapshots(t)}
+        on_disk = {os.path.join(str(tmp_path / "exp"), t, d)
+                   for d in os.listdir(tmp_path / "exp" / t)
+                   if d.startswith("snap-")}
+        assert on_disk == live, t
+    for t in ("fetch_log", "lineage", "phase_log"):
+        assert len(store.snapshots(t)) == n_waves, t  # ledger untouched
+    cat = crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+                max_waves=30, n_shards=4, expire_keep=2)
+    assert_parity(cat.collect(), sim)
