@@ -1420,6 +1420,59 @@ SELECT host,
 FROM t"""
 
 
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap seed ingestion (operators/sitemap.py): the query renders one
+    100-entry sitemap.xml per doc_id block — lastmod present for
+    doc_id % 3 != 0, priority for doc_id % 4 != 1 — and the Spark side
+    earns its values by actually parsing the XML (regexp block extraction,
+    posexplode, decimal→basis-point priority); the oracle recomputes the
+    expected rows from the same arithmetic without parsing."""
+    from ..operators import sitemap as sm
+
+    d = _derived(_docs(spark, sf_dir))
+    ent = d.select(
+        F.expr("doc_id div 100").alias("sm_id"), "doc_id",
+        F.concat(
+            F.lit("<url>\n  <loc> "), F.col("url"), F.lit(" </loc>"),
+            F.expr(
+                "if(doc_id % 3 != 0, concat('<lastmod>2024-', "
+                " lpad(cast(doc_id % 12 + 1 as string), 2, '0'), '-', "
+                " lpad(cast(doc_id % 28 + 1 as string), 2, '0'), "
+                " '</lastmod>'), '')"),
+            F.expr(
+                "if(doc_id % 4 != 1, concat('<priority>', "
+                " if(doc_id % 11 = 10, '1.0', "
+                "    concat('0.', cast(doc_id % 11 as string))), "
+                " '</priority>'), '')"),
+            F.lit("\n</url>")).alias("entry"))
+    xml = ent.groupBy("sm_id").agg(F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.expr("array_join(transform(array_sort(collect_list("
+               "struct(doc_id, entry))), x -> x.entry), '\\n')"),
+        F.lit("</urlset>")).alias("xml"))
+    sitemaps = xml.select(
+        F.concat(F.lit("https://www.science.org/sitemap"),
+                 F.col("sm_id").cast("string"), F.lit(".xml")).alias("url"),
+        "xml")
+    return sm.parse_sitemaps(sitemaps).select(
+        "sitemap_url", "pos", "seed_url", "lastmod", "priority_bp")
+
+
+def _sql_sitemap_ingest() -> str:
+    return f"""WITH {D_CTE}
+SELECT 'https://www.science.org/sitemap' || (doc_id // 100) || '.xml'
+         AS sitemap_url,
+       (doc_id % 100)::INT AS pos,
+       url AS seed_url,
+       CASE WHEN doc_id % 3 <> 0 THEN
+            '2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+                    || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+            ELSE NULL END AS lastmod,
+       CASE WHEN doc_id % 4 <> 1 THEN ((doc_id % 11) * 1000)::INT
+            ELSE NULL END AS priority_bp
+FROM d"""
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Freshness scheduling: AIMD revisit intervals folded over each URL's
     5-wave content-hash history (operators/recrawl.py) — change halves the
@@ -1772,6 +1825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_authority": q_host_authority,
     "rank_admission": q_rank_admission,
     "authority_budget": q_authority_budget,
+    "sitemap_ingest": q_sitemap_ingest,
     "recrawl_schedule": q_recrawl_schedule,
     "adaptive_policy": q_adaptive_policy,
     "media_frames": q_media_frames,
@@ -1836,6 +1890,7 @@ def build_oracles() -> dict[str, str]:
         "host_authority": _sql_host_authority(),
         "rank_admission": _sql_rank_admission(),
         "authority_budget": _sql_authority_budget(),
+        "sitemap_ingest": _sql_sitemap_ingest(),
         "recrawl_schedule": _sql_recrawl_schedule(),
         "adaptive_policy": _sql_adaptive_policy(),
         "media_frames": SQL_MEDIA_FRAMES,
