@@ -105,6 +105,61 @@ def priority_from_rank(frontier: DataFrame, ranks: DataFrame,
             .drop("__r_url", "rank"))
 
 
+def resolve_redirects(redirects: DataFrame, max_hops: int = 16,
+                      src: str = "src_url", dst: str = "dst_url") -> DataFrame:
+    """Terminal-target resolution of HTTP redirect chains by path doubling.
+
+    The reference follows redirects one page at a time inside the fetch
+    loop (Selenium just lands on the final URL); at corpus scale redirect
+    edges are DATA — a (src_url, dst_url) table distilled from fetch
+    responses — and resolution is a graph computation: every source must
+    map to the end of its chain so the frontier enqueues (and the seen-set
+    keys) the canonical target, not an alias.
+
+    Pointer doubling: state maps u → (position after `hops` steps); each
+    round composes the map with itself, so round k covers walks of length
+    2^k — ``log2(max_hops)`` rounds instead of a max_hops-step sequential
+    walk (the naive per-hop loop is the difference between 4 and 16
+    shuffles at max_hops=16). Cycles never terminate, so the walk is
+    CAPPED: after the rounds, a cyclic source holds the position after
+    exactly ``max_hops`` steps with ``resolved = 0``; an acyclic chain
+    holds its terminal with ``hops`` = true distance and ``resolved = 1``.
+    max_hops is rounded up to a power of two (the doubling grid).
+
+    Input is normalized to a function (min dst per src) so composition is
+    deterministic. Returns (src_url, final_url, hops, resolved).
+
+    Scale shape: every round is one self equi-join on the current-position
+    column over (url, url, int) triples — id-only rows, lazily
+    checkpointed so lineage stays flat; the terminal check is one
+    left-anti-shaped left join against the edge map. Same shuffle
+    discipline as pagerank above.
+    """
+    rounds = max(1, (max_hops - 1).bit_length())
+    m = (redirects.groupBy(F.col(src).alias("u"))
+         .agg(F.min(dst).alias("cur"))
+         .localCheckpoint(eager=False))
+    state = m.select("u", "cur", F.lit(1).cast("int").alias("hops"))
+    for _ in range(rounds):
+        nxt = state.select(F.col("u").alias("__u2"),
+                           F.col("cur").alias("__cur2"),
+                           F.col("hops").alias("__h2"))
+        state = (state.join(nxt, state["cur"] == nxt["__u2"], "left")
+                 .select("u",
+                         F.coalesce("__cur2", "cur").alias("cur"),
+                         (F.col("hops")
+                          + F.coalesce("__h2", F.lit(0))).cast("int")
+                         .alias("hops"))
+                 .localCheckpoint(eager=False))
+    term = m.select(F.col("u").alias("__t"))
+    return (state.join(term, state["cur"] == term["__t"], "left")
+            .select(F.col("u").alias("src_url"),
+                    F.col("cur").alias("final_url"),
+                    "hops",
+                    F.when(F.col("__t").isNull(), 1).otherwise(0)
+                    .cast("int").alias("resolved")))
+
+
 def host_rank_rollup(ranks: DataFrame, url_col: str = "url") -> DataFrame:
     """Host-level authority: sum of member-URL ranks (integer, exact).
     Feed into politeness.compose_wave as a priority source: budget goes to

@@ -1420,6 +1420,62 @@ SELECT host,
 FROM t"""
 
 
+def _redirect_edges(spark, sf_dir) -> DataFrame:
+    """Synthetic redirect table: each doc gets a hop chain
+    redir.org/<id>/0 → … → /<L-1> → its canonical detail URL
+    (L = doc_id % 5 + 1); docs with doc_id % 97 == 11 close the chain into
+    a cycle instead — pure arithmetic, reproduced verbatim by the oracle."""
+    d = _derived(_docs(spark, sf_dir))
+    return (d.select("doc_id", "url")
+            .withColumn("L", (F.col("doc_id") % 5 + 1).cast("int"))
+            .withColumn("i", F.explode(F.sequence(F.lit(0), F.col("L") - 1)))
+            .select(
+                F.expr("concat('https://redir.org/', doc_id, '/', i)")
+                .alias("src_url"),
+                F.expr(
+                    "if(i < L - 1, concat('https://redir.org/', doc_id, '/', i + 1), "
+                    "   if(doc_id % 97 = 11, "
+                    "      concat('https://redir.org/', doc_id, '/0'), url))")
+                .alias("dst_url")))
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain terminal resolution by path doubling
+    (linkgraph.resolve_redirects): acyclic chains land on the canonical
+    detail URL with their true hop distance, cyclic chains are capped at
+    max_hops=16 with resolved=0 and the position after exactly 16 steps —
+    the oracle walks the same edges with a hop-bounded recursive CTE."""
+    return lg.resolve_redirects(_redirect_edges(spark, sf_dir)) \
+        .select("src_url", "final_url", "hops", "resolved")
+
+
+def _sql_redirect_resolve() -> str:
+    return f"""WITH RECURSIVE {D_CTE},
+e AS (
+  SELECT 'https://redir.org/' || doc_id || '/' || i AS src_url,
+         CASE WHEN i < (doc_id % 5)
+              THEN 'https://redir.org/' || doc_id || '/' || (i + 1)
+              WHEN doc_id % 97 = 11
+              THEN 'https://redir.org/' || doc_id || '/0'
+              ELSE url END AS dst_url
+  FROM d, (SELECT unnest(range(0, 5)) AS i) s
+  WHERE i <= doc_id % 5),
+m AS (SELECT src_url AS u, min(dst_url) AS v FROM e GROUP BY 1),
+walk(u, cur, hops) AS (
+  SELECT u, v, 1 FROM m
+  UNION ALL
+  SELECT w.u, m.v, w.hops + 1 FROM walk w JOIN m ON m.u = w.cur
+  WHERE w.hops < 16),
+fin AS (
+  SELECT u, cur, hops,
+         row_number() OVER (PARTITION BY u ORDER BY hops DESC) AS rn
+  FROM walk)
+SELECT f.u AS src_url, f.cur AS final_url, f.hops::INT AS hops,
+       CASE WHEN m2.u IS NULL THEN 1 ELSE 0 END::INT AS resolved
+FROM fin f LEFT JOIN m m2 ON m2.u = f.cur
+WHERE f.rn = 1"""
+
+
 def q_sitemap_ingest(spark, sf_dir):
     """Sitemap seed ingestion (operators/sitemap.py): the query renders one
     100-entry sitemap.xml per doc_id block — lastmod present for
@@ -1826,6 +1882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_admission": q_rank_admission,
     "authority_budget": q_authority_budget,
     "sitemap_ingest": q_sitemap_ingest,
+    "redirect_resolve": q_redirect_resolve,
     "recrawl_schedule": q_recrawl_schedule,
     "adaptive_policy": q_adaptive_policy,
     "media_frames": q_media_frames,
@@ -1891,6 +1948,7 @@ def build_oracles() -> dict[str, str]:
         "rank_admission": _sql_rank_admission(),
         "authority_budget": _sql_authority_budget(),
         "sitemap_ingest": _sql_sitemap_ingest(),
+        "redirect_resolve": _sql_redirect_resolve(),
         "recrawl_schedule": _sql_recrawl_schedule(),
         "adaptive_policy": _sql_adaptive_policy(),
         "media_frames": SQL_MEDIA_FRAMES,

@@ -74,3 +74,36 @@ def test_host_rollup_sums_members(spark):
     seq = pagerank_seq(edges, 3)
     assert roll["a.org"] == (seq["https://a.org/1"] + seq["https://a.org/2"], 2)
     assert roll["b.org"] == (seq["https://b.org/1"], 1)
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "T"),       # 3-chain to terminal
+             ("x", "y"), ("y", "x"),                   # 2-cycle
+             ("p", "q")]                               # 1 hop
+    df = spark.createDataFrame(edges, "src_url string, dst_url string")
+    got = {r["src_url"]: (r["final_url"], r["hops"], r["resolved"])
+           for r in lg.resolve_redirects(df, max_hops=16).collect()}
+    assert got["a"] == ("T", 3, 1)
+    assert got["b"] == ("T", 2, 1)
+    assert got["c"] == ("T", 1, 1)
+    assert got["p"] == ("q", 1, 1)
+    # cycle: capped at exactly max_hops steps, never resolved;
+    # 16 is even so both cycle members land back on themselves' successor
+    assert got["x"] == ("x", 16, 0)
+    assert got["y"] == ("y", 16, 0)
+
+
+def test_resolve_redirects_long_chain_cap(spark):
+    n = 25  # longer than max_hops=16
+    edges = [(f"n{i}", f"n{i+1}") for i in range(n)]
+    df = spark.createDataFrame(edges, "src_url string, dst_url string")
+    got = {r["src_url"]: (r["final_url"], r["hops"], r["resolved"])
+           for r in lg.resolve_redirects(df, max_hops=16).collect()}
+    assert got["n0"] == ("n16", 16, 0)   # capped mid-chain, unresolved
+    assert got["n10"] == (f"n{n}", n - 10, 1)  # tail fits in the cap
+    # non-functional input normalizes to min dst
+    df2 = spark.createDataFrame([("a", "z"), ("a", "b"), ("b", "T")],
+                                "src_url string, dst_url string")
+    got2 = {r["src_url"]: r["final_url"]
+            for r in lg.resolve_redirects(df2).collect()}
+    assert got2["a"] == "T"  # min("b","z") = "b" -> T

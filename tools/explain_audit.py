@@ -291,6 +291,21 @@ def main() -> int:
                  for cols in exch10)),
     ])
 
+    # ---- redirect resolution: path doubling over id-only triples ---------
+    p13 = plan_of(lg.resolve_redirects(ct._redirect_edges(spark, sf_dir)))
+    exch13 = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+              for b in re.split(r"\n\n", p13)
+              if re.match(r"\(\d+\) Exchange",
+                          (b.splitlines()[0] if b.strip() else "").strip())
+              and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    all_ok &= audit("resolve_redirects (path doubling)", p13, [
+        ("every doubling round is an equi hash join (no BNLJ/cartesian)",
+         "NestedLoop" not in p13 and "CartesianProduct" not in p13),
+        ("no Exchange carries html/text (state is (url, url, hops))",
+         not any(w in cols for w in ("html", "text", "embedding")
+                 for cols in exch13)),
+    ])
+
     # ---- authority budget: two-phase bounded top-r apportionment ---------
     roll = lg.host_rank_rollup(lg.pagerank(ct._url_edges(spark, sf_dir),
                                            n_iter=2))
