@@ -139,7 +139,41 @@ def url_host(url: Column) -> Column:
     return F.parse_url(url, F.lit("HOST"))
 
 
+def canonicalize_url(url: Column) -> Column:
+    """RFC 3986 §6 syntax-based normalization — the aliasing-collapse step
+    before seen-set keying, so ``HTTP://Host:443/p?b=2&a=1#frag`` and
+    ``https://host/p?a=1&b=2`` dedup to one frontier entry.
+
+    Normalizations (all JVM regexp/array expressions, one pass, no UDF):
+    fragment stripped; scheme and authority lowercased; default ports
+    dropped (:80 for http, :443 for https); empty path → ``/``; query
+    parameters sorted bytewise (``&``-split). Percent-decoding is
+    deliberately NOT applied (it is only safe for unreserved characters
+    and needs a decode table — conservative canonicalizers skip it).
+    Non-hierarchical inputs (no ``://``) pass through unchanged.
+
+    Production seen-set composition: canonical_url_hash(canonicalize_url(u)).
+    The synthetic corpus emits already-canonical URLs, so the crawl-parity
+    suite keys on the raw form — byte-identical either way there.
+    """
+    base = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    auth = F.lower(F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    auth = (F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+            .otherwise(auth))
+    path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(base, r"\?(.*)$", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), auth, path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)))
+    return F.when(scheme == "", url).otherwise(canon)
+
+
 def canonical_url_hash(url: Column) -> Column:
     """Seen-set key: 64-bit hash of the URL (the engine's DOI-analogue —
-    reference keys its seen set on DOI, database/create_science_table.sql:19)."""
+    reference keys its seen set on DOI, database/create_science_table.sql:19).
+    Feed canonicalize_url(url) here when the corpus contains aliased forms."""
     return F.xxhash64(url)

@@ -1420,6 +1420,42 @@ SELECT host,
 FROM t"""
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (scalars.canonicalize_url): messy aliases —
+    uppercased scheme/host, explicit :443, unsorted query params,
+    fragments, empty paths — are rendered by arithmetic and the Spark side
+    earns the canonical form by running the normalization kernel; the
+    oracle writes down the expected canonical string directly."""
+    d = _derived(_docs(spark, sf_dir))
+    messy = F.expr(
+        "concat(if(doc_id % 2 = 0, 'HTTPS', 'https'), '://', "
+        " if(doc_id % 3 = 0, upper(host), host), "
+        " if(doc_id % 5 = 0, ':443', ''), "
+        " if(doc_id % 11 = 7, '', concat('/doi/', doi)), "
+        " if(doc_id % 4 != 0, concat('?b=', doc_id, '&a=1'), ''), "
+        " if(doc_id % 7 = 0, concat('#sec', doc_id), ''))")
+    return d.select(
+        "doc_id", messy.alias("url_messy"),
+        scalars.canonicalize_url(messy).alias("canonical_url"))
+
+
+def _sql_url_canonical() -> str:
+    return f"""WITH {D_CTE}
+SELECT doc_id,
+       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+       (CASE WHEN doc_id % 3 = 0 THEN upper(host) ELSE host END) ||
+       (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+       (CASE WHEN doc_id % 11 = 7 THEN '' ELSE '/doi/' || doi END) ||
+       (CASE WHEN doc_id % 4 <> 0 THEN '?b=' || doc_id || '&a=1' ELSE '' END) ||
+       (CASE WHEN doc_id % 7 = 0 THEN '#sec' || doc_id ELSE '' END)
+         AS url_messy,
+       'https://' || host ||
+       (CASE WHEN doc_id % 11 = 7 THEN '/' ELSE '/doi/' || doi END) ||
+       (CASE WHEN doc_id % 4 <> 0 THEN '?a=1&b=' || doc_id ELSE '' END)
+         AS canonical_url
+FROM d"""
+
+
 def _redirect_edges(spark, sf_dir) -> DataFrame:
     """Synthetic redirect table: each doc gets a hop chain
     redir.org/<id>/0 → … → /<L-1> → its canonical detail URL
@@ -1883,6 +1919,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "authority_budget": q_authority_budget,
     "sitemap_ingest": q_sitemap_ingest,
     "redirect_resolve": q_redirect_resolve,
+    "url_canonical": q_url_canonical,
     "recrawl_schedule": q_recrawl_schedule,
     "adaptive_policy": q_adaptive_policy,
     "media_frames": q_media_frames,
@@ -1949,6 +1986,7 @@ def build_oracles() -> dict[str, str]:
         "authority_budget": _sql_authority_budget(),
         "sitemap_ingest": _sql_sitemap_ingest(),
         "redirect_resolve": _sql_redirect_resolve(),
+        "url_canonical": _sql_url_canonical(),
         "recrawl_schedule": _sql_recrawl_schedule(),
         "adaptive_policy": _sql_adaptive_policy(),
         "media_frames": SQL_MEDIA_FRAMES,

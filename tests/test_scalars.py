@@ -100,3 +100,21 @@ def test_truncate_error(spark):
 def test_cookie_map(spark):
     got = col_eval(spark, scalars.cookie_str_to_map, ["a=1; b=2;c=x=y"])
     assert got[0] == {"a": "1", "b": "2", "c": "x=y"}
+
+
+def test_canonicalize_url(spark):
+    from s_crawler_spark.functions.scalars import canonicalize_url
+    cases = [
+        ("HTTP://Example.COM:80/Path?z=1&a=2#frag",
+         "http://example.com/Path?a=2&z=1"),
+        ("https://h.org:443", "https://h.org/"),
+        ("https://h.org:8443/x", "https://h.org:8443/x"),  # non-default kept
+        ("http://h.org/p", "http://h.org/p"),              # already canonical
+        ("https://h.org/p#a?b=1", "https://h.org/p"),      # '?' inside fragment
+        ("mailto:x@y.z", "mailto:x@y.z"),                  # non-hierarchical
+        ("not a url", "not a url"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "u string")
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    assert got == [c[1] for c in cases]
