@@ -91,12 +91,18 @@ def ingest_sitemaps(pages: DataFrame, max_depth: int = 2) -> DataFrame:
         "url", F.col("html").cast("string").alias("xml"))
     out = parse_sitemaps(sm)
     frontier = sm
+    parsed = sm.select("url")  # tiny: one row per sitemap document
     for _ in range(max_depth - 1):
-        children = sitemap_index_entries(frontier).select(
-            F.col("child_url").alias("url"))
-        frontier = (pages.join(children.distinct(), on="url", how="leftsemi")
-                    .select("url", F.col("html").cast("string").alias("xml")))
+        # anti-join against already-parsed sitemaps: a child whose URL also
+        # matches the top-level scan pattern must not be parsed twice
+        children = (sitemap_index_entries(frontier)
+                    .select(F.col("child_url").alias("url")).distinct()
+                    .join(parsed, on="url", how="left_anti"))
+        frontier = (pages.join(children, on="url", how="leftsemi")
+                    .select("url", F.col("html").cast("string").alias("xml"))
+                    .localCheckpoint(eager=False))
         out = out.unionByName(parse_sitemaps(frontier))
+        parsed = parsed.unionByName(frontier.select("url"))
     return out
 
 

@@ -66,3 +66,14 @@ def test_filter_modified_since(spark):
            for r in sm.filter_modified_since(df, "2024-01-01 00:00:00").collect()}
     # newer kept, older dropped, unknown/unparseable conservatively kept
     assert got == {"u1", "u3", "u4"}
+
+
+def test_ingest_no_double_parse(spark):
+    """A child sitemap whose URL also matches the top-level scan pattern
+    must yield its entries exactly once."""
+    pages = spark.createDataFrame(
+        [("https://a.org/sitemap.xml", INDEX.encode()),
+         ("https://a.org/sitemap1.xml", URLSET.encode())],
+        "url string, html binary")
+    got = sm.ingest_sitemaps(pages).collect()
+    assert len(got) == 3  # three entries, not six
