@@ -87,8 +87,12 @@ def ingest_sitemaps(pages: DataFrame, max_depth: int = 2) -> DataFrame:
     url filter). Depth is bounded by ``max_depth`` (the spec allows one
     index level; 2 covers index-of-index abuse without unbounded recursion).
     """
-    sm = pages.filter(F.col("url").rlike(r"/sitemap[^/]*\.xml$")).select(
-        "url", F.col("html").cast("string").alias("xml"))
+    # endswith is the PUSHABLE coarse filter (parquet StringEndsWith reaches
+    # the scan; rlike does not push down), the regex is the precise filter
+    # applied to the tiny survivor set after it
+    sm = (pages.filter(F.col("url").endswith(".xml"))
+          .filter(F.col("url").rlike(r"/sitemap[^/]*\.xml$"))
+          .select("url", F.col("html").cast("string").alias("xml")))
     out = parse_sitemaps(sm)
     frontier = sm
     parsed = sm.select("url")  # tiny: one row per sitemap document

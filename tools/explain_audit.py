@@ -291,6 +291,15 @@ def main() -> int:
                  for cols in exch10)),
     ])
 
+    # ---- sitemap scan: pushable coarse filter reaches the parquet scan ---
+    from s_crawler_spark.operators import sitemap as smp
+    p14 = plan_of(smp.ingest_sitemaps(pages, max_depth=1))
+    all_ok &= audit("sitemap_ingest (scan pushdown)", p14, [
+        ("the .xml suffix filter is pushed to the parquet scan "
+         "(StringEndsWith in PushedFilters — rlike alone would not push)",
+         "StringEndsWith(url,.xml)" in p14.replace(" ", "")),
+    ])
+
     # ---- redirect resolution: path doubling over id-only triples ---------
     p13 = plan_of(lg.resolve_redirects(ct._redirect_edges(spark, sf_dir)))
     exch13 = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
