@@ -124,6 +124,10 @@ def main() -> None:
     from s_crawler_spark.operators import recrawl as rcw
     bench("recrawl_schedule", lambda: _noop_write(
         rcw.recrawl_schedule(ct._fetch_history(spark, SF_DIR))))
+    bench("redirect_resolve", lambda: _noop_write(
+        lg.resolve_redirects(ct._redirect_edges(spark, SF_DIR))))
+    bench("sitemap_ingest", lambda: _noop_write(
+        ct.q_sitemap_ingest(spark, SF_DIR)))
 
     def _queries_df():
         return emb.filter(F.col("vec_id") < 32).select(

@@ -118,3 +118,47 @@ def test_canonicalize_url(spark):
     got = [r["c"] for r in
            df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
     assert got == [c[1] for c in cases]
+
+
+def test_canonicalize_url_differential(spark):
+    """300 generated URLs vs an independent Python normalizer written from
+    the RFC (urllib-split based, shares no code or regex with the kernel)."""
+    import random
+    from urllib.parse import urlsplit
+
+    def py_canon(u):
+        try:
+            s = urlsplit(u)
+        except ValueError:
+            return u
+        if not s.scheme or "://" not in u:
+            return u
+        scheme = s.scheme.lower()
+        auth = s.netloc.lower()
+        if scheme == "http" and auth.endswith(":80"):
+            auth = auth[:-3]
+        elif scheme == "https" and auth.endswith(":443"):
+            auth = auth[:-4]
+        path = s.path or "/"
+        q = "&".join(sorted(s.query.split("&"))) if s.query else ""
+        return scheme + "://" + auth + path + ("?" + q if s.query else "")
+
+    rng = random.Random(1234)
+    cases = []
+    for _ in range(300):
+        scheme = rng.choice(["http", "https", "HTTP", "HTTPS", "hTtPs"])
+        host = rng.choice(["a.org", "A.ORG", "sub.Ex-ample.com", "X9.net"])
+        port = rng.choice(["", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/p", "/a/b.html", "/Mixed/Case"])
+        nq = rng.randint(0, 3)
+        params = [f"{rng.choice('abcz')}={rng.randint(0, 99)}"
+                  for _ in range(nq)]
+        query = "?" + "&".join(params) if params else ""
+        frag = rng.choice(["", "#f", "#a?x=1"])
+        cases.append(scheme + "://" + host + port + path + query + frag)
+    from s_crawler_spark.functions.scalars import canonicalize_url
+    df = spark.createDataFrame([(c,) for c in cases], "u string")
+    got = [r["c"] for r in
+           df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    exp = [py_canon(c) for c in cases]
+    assert got == exp
