@@ -145,9 +145,10 @@ def canonicalize_url(url: Column) -> Column:
     ``https://host/p?a=1&b=2`` dedup to one frontier entry.
 
     Normalizations (all JVM regexp/array expressions, one pass, no UDF):
-    fragment stripped; scheme and authority lowercased; default ports
-    dropped (:80 for http, :443 for https); empty path → ``/``; query
-    parameters sorted bytewise (``&``-split). Percent-decoding is
+    fragment stripped; scheme and host lowercased (userinfo keeps its
+    case — RFC 3986 §6.2.2.1 makes only scheme and host case-insensitive);
+    default ports dropped (:80 for http, :443 for https); empty path →
+    ``/``; query parameters sorted bytewise (``&``-split). Percent-decoding is
     deliberately NOT applied (it is only safe for unreserved characters
     and needs a decode table — conservative canonicalizers skip it).
     Non-hierarchical inputs (no ``://``) pass through unchanged.
@@ -158,10 +159,15 @@ def canonicalize_url(url: Column) -> Column:
     """
     base = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    auth = F.lower(F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
-    auth = (F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
-            .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
-            .otherwise(auth))
+    auth_raw = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    # RFC 3986 §6.2.2.1: only scheme and HOST are case-insensitive —
+    # userinfo keeps its case (greedy .*@ takes the last '@' per the grammar)
+    userinfo = F.regexp_extract(auth_raw, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(auth_raw, r"^.*@", ""))
+    hostport = (F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+                .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+                .otherwise(hostport))
+    auth = F.concat(userinfo, hostport)
     path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(base, r"\?(.*)$", 1)

@@ -128,6 +128,9 @@ def resolve_redirects(redirects: DataFrame, max_hops: int = 16,
 
     Input is normalized to a function (min dst per src) so composition is
     deterministic. Returns (src_url, final_url, hops, resolved).
+    ``max_hops`` must be a power of two — the doubling grid can only cap
+    at exact powers, and silently rounding up would let hops exceed the
+    caller's cap; a non-power value raises.
 
     Scale shape: every round is one self equi-join on the current-position
     column over (url, url, int) triples — id-only rows, lazily
@@ -135,7 +138,11 @@ def resolve_redirects(redirects: DataFrame, max_hops: int = 16,
     left-anti-shaped left join against the edge map. Same shuffle
     discipline as pagerank above.
     """
-    rounds = max(1, (max_hops - 1).bit_length())
+    if max_hops < 1 or (max_hops & (max_hops - 1)) != 0:
+        raise ValueError(
+            f"max_hops must be a power of two, got {max_hops} "
+            "(pointer doubling caps walks at exactly 2^rounds)")
+    rounds = max_hops.bit_length() - 1
     m = (redirects.groupBy(F.col(src).alias("u"))
          .agg(F.min(dst).alias("cur"))
          .localCheckpoint(eager=False))

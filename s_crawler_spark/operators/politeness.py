@@ -100,8 +100,9 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     reference's id-ordered drain (src/database_manager.py:199). Hosts missing
     from the policy get the default delay. Robots-disallowed rows are dropped.
     An explicit ``host_budget`` table (host, host_budget — e.g. from
-    apportion_budget) overrides the delay-derived budget; hosts absent from
-    it are admitted nowhere this wave.
+    apportion_budget) caps admission at min(allocated, delay-derived)
+    per host — capacity allocation tightens politeness, never loosens it;
+    hosts absent from it are admitted nowhere this wave.
 
     Scale notes: the policy join is an explicit broadcast, and admission is
     a TWO-PHASE bounded top-k. A single per-host window would sort ALL of
@@ -121,17 +122,20 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     joined = joined.withColumn(
         "crawl_delay_ms",
         F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)))
+    delay_budget = F.greatest(
+        F.lit(1),
+        (F.lit(wave_seconds * 1000) / F.col("crawl_delay_ms")).cast("int"))
     if host_budget is None:
-        joined = joined.withColumn(
-            "host_budget",
-            F.greatest(F.lit(1),
-                       (F.lit(wave_seconds * 1000) / F.col("crawl_delay_ms")).cast("int")))
+        joined = joined.withColumn("host_budget", delay_budget)
     else:
-        # capacity-apportioned budgets (apportion_budget) are authoritative:
-        # hosts absent from the allocation wait for a future wave (budget 0)
+        # capacity apportionment can only TIGHTEN politeness, never loosen
+        # it: the admitted count is min(allocated slots, crawl-delay
+        # budget) — RFC 9309 Crawl-delay still binds. Hosts absent from
+        # the allocation wait for a future wave (budget 0).
         joined = joined.join(F.broadcast(host_budget), on="host", how="left") \
             .withColumn("host_budget",
-                        F.coalesce(F.col("host_budget"), F.lit(0)))
+                        F.least(F.coalesce(F.col("host_budget"), F.lit(0)),
+                                delay_budget))
     allowed = joined.filter(
         F.col("robots_disallow").isNull()
         | robots_allowed(F.col("url"), F.col("robots_disallow"),
@@ -224,8 +228,12 @@ def adapt_host_policy(host_policy: DataFrame, results: DataFrame,
     equi-join against the policy dimension keyed on host — never larger
     than #hosts rows on either side.
     """
-    tally = results.groupBy("host").agg(
-        F.sum(F.when(F.col("success"), 0).otherwise(1)).alias("__n_fail"))
+    # NULL success = "no outcome recorded", not a failure: filtered out so
+    # an all-NULL host keeps its delay (the no-outcomes contract)
+    tally = (results.filter(F.col("success").isNotNull())
+             .groupBy("host").agg(
+                 F.sum(F.when(F.col("success"), 0).otherwise(1))
+                 .alias("__n_fail")))
     joined = host_policy.join(tally, "host", "left")
     new_delay = (
         F.when(F.col("__n_fail").isNull(), F.col("crawl_delay_ms"))

@@ -1600,18 +1600,16 @@ c AS (
 g AS (
   SELECT url, count(*)::INT AS n_fetches, max(wave)::INT AS last_wave,
          coalesce(list(f ORDER BY wave) FILTER (WHERE rn > 1), []) AS fl
-  FROM c GROUP BY url)
-SELECT url, n_fetches,
-       list_sum(fl)::INT AS n_changes,
-       list_reduce(list_prepend({i0}, fl),
-                   (s, x) -> CASE WHEN x = 1 THEN greatest({lo}, s // 2)
-                                  ELSE least({hi}, s + 1) END)::INT
-         AS interval,
-       (last_wave + list_reduce(list_prepend({i0}, fl),
-                   (s, x) -> CASE WHEN x = 1 THEN greatest({lo}, s // 2)
-                                  ELSE least({hi}, s + 1) END))::INT
-         AS next_fetch_wave
-FROM g"""
+  FROM c GROUP BY url),
+folded AS (
+  SELECT url, n_fetches, last_wave, list_sum(fl)::INT AS n_changes,
+         list_reduce(list_prepend({i0}, fl),
+                     (s, x) -> CASE WHEN x = 1 THEN greatest({lo}, s // 2)
+                                    ELSE least({hi}, s + 1) END)::INT AS iv
+  FROM g)
+SELECT url, n_fetches, n_changes, iv AS interval,
+       (last_wave + iv)::INT AS next_fetch_wave
+FROM folded"""
 
 
 def q_adaptive_policy(spark, sf_dir):

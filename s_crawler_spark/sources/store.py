@@ -132,11 +132,13 @@ class SnapshotStore:
             kept, dropped = snaps[-keep:], snaps[:-keep]
             manifest["snapshots"] = kept
             self._write_manifest(t, manifest)
-            live = {s["path"] for s in kept}
+            # compare by snapshot BASENAME, not full path: a store opened
+            # via a differently-spelled root ("./data" vs "data") must not
+            # mistake live snapshots for orphans
+            live = {f"snap-{s['id']}" for s in kept}
             tdir = os.path.join(self.root, t)
             for d in os.listdir(tdir):  # includes prior-crash orphans
-                p = os.path.join(tdir, d)
-                if d.startswith("snap-") and p not in live:
-                    shutil.rmtree(p, ignore_errors=True)
+                if d.startswith("snap-") and d not in live:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
             n += len(dropped)
         return n

@@ -126,5 +126,7 @@ def test_compose_wave_budget_override(spark):
                             wave_seconds=4, host_budget=alloc)
     got = {r["host"]: r["count"]
            for r in batch.groupBy("host").count().collect()}
-    # override is authoritative: h2 absent from the allocation waits
-    assert got == {"h0.org": 5, "h1.org": 1}
+    # allocation caps at min(allocated, crawl-delay budget): h0's 5 slots
+    # clamp to the politeness budget of 4 (capacity never loosens
+    # politeness); h2 absent from the allocation waits
+    assert got == {"h0.org": 4, "h1.org": 1}

@@ -111,6 +111,8 @@ def test_canonicalize_url(spark):
         ("https://h.org:8443/x", "https://h.org:8443/x"),  # non-default kept
         ("http://h.org/p", "http://h.org/p"),              # already canonical
         ("https://h.org/p#a?b=1", "https://h.org/p"),      # '?' inside fragment
+        ("https://UserTOK@Host.ORG:443/p",                 # userinfo keeps case
+         "https://UserTOK@host.org/p"),
         ("mailto:x@y.z", "mailto:x@y.z"),                  # non-hierarchical
         ("not a url", "not a url"),
     ]
@@ -134,7 +136,11 @@ def test_canonicalize_url_differential(spark):
         if not s.scheme or "://" not in u:
             return u
         scheme = s.scheme.lower()
-        auth = s.netloc.lower()
+        if "@" in s.netloc:  # only scheme and host are case-insensitive
+            ui, hp = s.netloc.rsplit("@", 1)
+            auth = ui + "@" + hp.lower()
+        else:
+            auth = s.netloc.lower()
         if scheme == "http" and auth.endswith(":80"):
             auth = auth[:-3]
         elif scheme == "https" and auth.endswith(":443"):
@@ -147,7 +153,8 @@ def test_canonicalize_url_differential(spark):
     cases = []
     for _ in range(300):
         scheme = rng.choice(["http", "https", "HTTP", "HTTPS", "hTtPs"])
-        host = rng.choice(["a.org", "A.ORG", "sub.Ex-ample.com", "X9.net"])
+        user = rng.choice(["", "", "", "Tok@", "uS3r:Pw@"])
+        host = user + rng.choice(["a.org", "A.ORG", "sub.Ex-ample.com", "X9.net"])
         port = rng.choice(["", ":80", ":443", ":8080"])
         path = rng.choice(["", "/", "/p", "/a/b.html", "/Mixed/Case"])
         nq = rng.randint(0, 3)

@@ -27,6 +27,18 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def exchange_inputs(plan: str) -> list[str]:
+    """Input-column strings of every Exchange block in a formatted plan.
+    Callers asserting "no Exchange carries X" should ALSO assert the list
+    is non-empty when the plan is known to shuffle — an empty scrape makes
+    any not-any() check vacuously true."""
+    return [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+            for b in re.split(r"\n\n", plan)
+            if re.match(r"\(\d+\) Exchange",
+                        (b.splitlines()[0] if b.strip() else "").strip())
+            and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+
+
 def audit(name: str, plan: str, checks: list[tuple[str, bool]]) -> bool:
     print(f"\n=== {name} ===")
     ok = True
@@ -232,11 +244,7 @@ def main() -> int:
         pairs_audit.select(F.col("a_id").cast("long").alias("u"),
                            F.col("b_id").cast("long").alias("v"))))
     p8 = plan_of(round_df)
-    exch_inputs = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
-                   for b in re.split(r"\n\n", p8)
-                   if re.match(r"\(\d+\) Exchange",
-                               (b.splitlines()[0] if b.strip() else "").strip())
-                   and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    exch_inputs = exchange_inputs(p8)
     all_ok &= audit("near_dup_clusters (one star round)", p8, [
         ("star joins are equi-hash joins (no BNLJ/cartesian anywhere in "
          "the round)", "NestedLoop" not in p8 and "Cartesian" not in p8),
@@ -260,22 +268,14 @@ def main() -> int:
         ("no Exchange carries text/html/vectors (iteration state is "
          "(url, rank) pairs)", not any(
              w in cols for w in ("text", "html", "embedding")
-             for cols in [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
-                          for b in re.split(r"\n\n", p9)
-                          if re.match(r"\(\d+\) Exchange",
-                                      (b.splitlines()[0] if b.strip() else "").strip())
-                          and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)])),
+             for cols in exchange_inputs(p9))),
     ])
 
     # ---- rank-fed admission: authority join + two-phase budget -----------
     ranked = lg.priority_from_rank(
         pend, lg.pagerank(ct._url_edges(spark, sf_dir), n_iter=2))
     p10 = plan_of(po.compose_wave(ranked, policy, wave_seconds=10))
-    exch10 = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
-              for b in re.split(r"\n\n", p10)
-              if re.match(r"\(\d+\) Exchange",
-                          (b.splitlines()[0] if b.strip() else "").strip())
-              and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    exch10 = exchange_inputs(p10)
     all_ok &= audit("rank_admission (pagerank -> priority -> compose_wave)", p10, [
         ("rank joins onto the frontier as an equi hash join (no "
          "BNLJ/cartesian beyond pagerank's bounded 1-row max_page "
@@ -302,11 +302,7 @@ def main() -> int:
 
     # ---- redirect resolution: path doubling over id-only triples ---------
     p13 = plan_of(lg.resolve_redirects(ct._redirect_edges(spark, sf_dir)))
-    exch13 = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
-              for b in re.split(r"\n\n", p13)
-              if re.match(r"\(\d+\) Exchange",
-                          (b.splitlines()[0] if b.strip() else "").strip())
-              and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    exch13 = exchange_inputs(p13)
     all_ok &= audit("resolve_redirects (path doubling)", p13, [
         ("every doubling round is an equi hash join (no BNLJ/cartesian)",
          "NestedLoop" not in p13 and "CartesianProduct" not in p13),
@@ -334,11 +330,7 @@ def main() -> int:
     from s_crawler_spark.operators import recrawl as rcw
     hist = ct._fetch_history(spark, sf_dir)
     p11 = plan_of(rcw.recrawl_schedule(hist))
-    exch11 = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
-              for b in re.split(r"\n\n", p11)
-              if re.match(r"\(\d+\) Exchange",
-                          (b.splitlines()[0] if b.strip() else "").strip())
-              and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    exch11 = exchange_inputs(p11)
     all_ok &= audit("recrawl_schedule (AIMD freshness fold)", p11, [
         ("no joins at all — one groupBy-url aggregation",
          "Join" not in p11),
