@@ -128,6 +128,8 @@ def main() -> None:
         lg.resolve_redirects(ct._redirect_edges(spark, SF_DIR))))
     bench("sitemap_ingest", lambda: _noop_write(
         ct.q_sitemap_ingest(spark, SF_DIR)))
+    bench("trap_features", lambda: _noop_write(
+        ct.q_trap_features(spark, SF_DIR)))
 
     def _queries_df():
         return emb.filter(F.col("vec_id") < 32).select(

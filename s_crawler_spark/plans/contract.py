@@ -1420,6 +1420,73 @@ SELECT host,
 FROM t"""
 
 
+_TRAP_URL = (
+    "concat('https://', host, '/d', cast(doc_id % 7 as string), "
+    " repeat('/loop', cast(doc_id % 9 as int)), "
+    " if(doc_id % 4 = 0, concat('?k=1', "
+    "    repeat('&k=1', cast(doc_id % 11 as int))), ''))")
+
+
+def q_trap_features(spark, sf_dir):
+    """Spider-trap URL shape features (operators/traps.py): path depth,
+    max repeated-segment multiplicity (sorted single-pass fold), query
+    parameter count — over arithmetic-rendered loopy URLs; the Spark side
+    earns the features by parsing the URL string, the oracle writes the
+    expected integers down directly."""
+    from ..operators import traps as tp
+
+    d = _derived(_docs(spark, sf_dir))
+    urls = d.select(F.expr(_TRAP_URL).alias("url"))
+    return tp.url_trap_features(urls).select(
+        "url", "path_depth", "max_repeat_seg", "n_query_params")
+
+
+def _sql_trap_features() -> str:
+    return f"""WITH {D_CTE}
+SELECT 'https://' || host || '/d' || (doc_id % 7) ||
+         repeat('/loop', (doc_id % 9)::INT) ||
+         (CASE WHEN doc_id % 4 = 0
+               THEN '?k=1' || repeat('&k=1', (doc_id % 11)::INT)
+               ELSE '' END) AS url,
+       (1 + doc_id % 9)::INT AS path_depth,
+       greatest(1, doc_id % 9)::INT AS max_repeat_seg,
+       (CASE WHEN doc_id % 4 = 0 THEN 1 + doc_id % 11 ELSE 0 END)::INT
+         AS n_query_params
+FROM d"""
+
+
+def q_trap_hosts(spark, sf_dir):
+    """Per-host trap rollup over the same loopy URLs: threshold counts and
+    the basis-point is_trap flag (traps.trap_hosts)."""
+    from ..operators import traps as tp
+
+    d = _derived(_docs(spark, sf_dir))
+    urls = d.select(F.expr(_TRAP_URL).alias("url"))
+    return tp.trap_hosts(urls).select(
+        "host", "n_urls", "n_deep", "n_repeat", "n_query_heavy",
+        "n_suspicious", "is_trap")
+
+
+def _sql_trap_hosts() -> str:
+    return f"""WITH {D_CTE},
+f AS (
+  SELECT host,
+         CASE WHEN 1 + doc_id % 9 >= 6 THEN 1 ELSE 0 END AS deep,
+         CASE WHEN greatest(1, doc_id % 9) >= 3 THEN 1 ELSE 0 END AS rep,
+         CASE WHEN doc_id % 4 = 0 AND 1 + doc_id % 11 >= 8
+              THEN 1 ELSE 0 END AS qh
+  FROM d)
+SELECT host, count(*)::BIGINT AS n_urls,
+       sum(deep)::BIGINT AS n_deep, sum(rep)::BIGINT AS n_repeat,
+       sum(qh)::BIGINT AS n_query_heavy,
+       sum(CASE WHEN deep = 1 OR rep = 1 OR qh = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_suspicious,
+       (CASE WHEN (sum(CASE WHEN deep = 1 OR rep = 1 OR qh = 1
+                       THEN 1 ELSE 0 END) * 10000) // count(*) >= 5000
+             THEN 1 ELSE 0 END)::INT AS is_trap
+FROM f GROUP BY host"""
+
+
 def q_url_canonical(spark, sf_dir):
     """URL canonicalization (scalars.canonicalize_url): messy aliases —
     uppercased scheme/host, explicit :443, unsorted query params,
@@ -1918,6 +1985,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_ingest": q_sitemap_ingest,
     "redirect_resolve": q_redirect_resolve,
     "url_canonical": q_url_canonical,
+    "trap_features": q_trap_features,
+    "trap_hosts": q_trap_hosts,
     "recrawl_schedule": q_recrawl_schedule,
     "adaptive_policy": q_adaptive_policy,
     "media_frames": q_media_frames,
@@ -1985,6 +2054,8 @@ def build_oracles() -> dict[str, str]:
         "sitemap_ingest": _sql_sitemap_ingest(),
         "redirect_resolve": _sql_redirect_resolve(),
         "url_canonical": _sql_url_canonical(),
+        "trap_features": _sql_trap_features(),
+        "trap_hosts": _sql_trap_hosts(),
         "recrawl_schedule": _sql_recrawl_schedule(),
         "adaptive_policy": _sql_adaptive_policy(),
         "media_frames": SQL_MEDIA_FRAMES,
