@@ -220,7 +220,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
           salt_buckets: int | None = None,
           resume: bool = True,
           adaptive_delay: bool = False,
-          expire_keep: int | None = None) -> DataFrame:
+          expire_keep: int | None = None,
+          trap_guard: bool = False) -> DataFrame:
     """Run (or resume) a full crawl to completion. Every wave commits
     frontier / seen / seen_shards / articles / fetch_log snapshots; killing
     the driver between waves and calling crawl() again continues from the
@@ -236,6 +237,11 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     per-wave admission pacing shifts. Off by default: the reference-parity
     contract (same politeness budget ⇒ same crawl order) is the
     non-adaptive mode.
+
+    ``trap_guard=True`` withholds this wave's admission from hosts whose
+    pending URL shapes trip the spider-trap heuristics
+    (operators/traps.py) — containment is an anti-join on the flagged
+    host set; a no-op on corpora without trap-shaped URL spaces.
 
     Returns the final articles catalog in crawl order.
     """
@@ -296,6 +302,15 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
 
         # --- politeness-budgeted wave composition + skew salting ---
         pending = fr.eligible_pending(frontier_df, logical_now)
+        if trap_guard:
+            # spider-trap containment as an admission filter: hosts whose
+            # pending URL shapes trip the trap heuristics stop consuming
+            # budget this wave (operators/traps.py; rows stay pending, so
+            # a host that recovers is re-admitted automatically)
+            from ..operators import traps as tp
+            flagged = (tp.trap_hosts(pending)
+                       .filter(F.col("is_trap") == 1).select("host"))
+            pending = pending.join(flagged, on="host", how="left_anti")
         if adaptive_delay and policy_df is not None:
             # adapted state from previous waves (or a resumed snapshot);
             # hosts first seen this wave join at the same default a fresh

@@ -42,3 +42,32 @@ def test_trap_hosts_flag(spark):
             t["n_suspicious"], t["is_trap"]) == (4, 1, 2, 1, 3, 1)
     o = got["ok.org"]
     assert (o["n_suspicious"], o["is_trap"]) == (0, 0)
+
+
+def test_trap_guard_withholds_admission(spark):
+    """The crawl-loop guard composition: flagged hosts' pending rows are
+    excluded from admission, clean hosts unaffected."""
+    from pyspark.sql import functions as F
+    pending = spark.createDataFrame(
+        [("https://trap.org/" + "/".join(["p"] * 9), "trap.org", i)
+         for i in range(4)]
+        + [("https://ok.org/a%d" % i, "ok.org", 10 + i) for i in range(3)],
+        "url string, host string, seq long")
+    flagged = (tp.trap_hosts(pending)
+               .filter(F.col("is_trap") == 1).select("host"))
+    kept = pending.join(flagged, on="host", how="left_anti")
+    assert {r["host"] for r in kept.collect()} == {"ok.org"}
+    assert kept.count() == 3
+
+
+def test_trap_guard_noop_on_clean_corpus(spark, pages, pages_dict, tmp_path):
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.plans.reference_sim import simulate_crawl
+    from s_crawler_spark.plans.wave import crawl
+    from s_crawler_spark.sources.store import SnapshotStore
+    from tests.test_wave_parity import assert_parity
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "tg"))
+    cat = crawl(spark, pages, seed_search_url(), store, wave_seconds=3600,
+                max_waves=10, n_shards=4, trap_guard=True)
+    assert_parity(cat.collect(), sim)
