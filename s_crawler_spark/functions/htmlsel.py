@@ -237,7 +237,12 @@ def _parse_attrs(s):
         if len(_ATTRS_CACHE) >= _ATTRS_CACHE_MAX:
             _ATTRS_CACHE.clear()
         attrs, selfclose = _parse_attrs_uncached(s)
-        classes = (attrs.get("class") or "").split()
+        # tuple, not list: the cached split is SHARED by every element with
+        # this attrs string (and returned directly by Element.classes) —
+        # the same aliasing hazard MappingProxyType guards on attrs; a
+        # caller mutating el.classes must raise, not corrupt the cache.
+        # Selector code only iterates / membership-tests it.
+        classes = tuple((attrs.get("class") or "").split())
         hit = (types.MappingProxyType(attrs), selfclose, classes,
                attrs.get("id"))
         _ATTRS_CACHE[s] = hit

@@ -1,7 +1,7 @@
 """Link-graph authority scoring for frontier prioritization.
 
-The reference schedules its frontier FIFO-with-priority (reference
-src/scheduler.py enqueue order; database_manager status table) — at web
+The reference schedules its frontier FIFO (reference frontier drain
+src/database_manager.py:191-209, `ORDER BY id ASC LIMIT n`) — at web
 scale the standard upgrade is link-authority scoring: PageRank over the
 URL (or host) graph feeding the frontier's priority column, so the
 politeness-budgeted admission (operators/politeness.compose_wave) spends

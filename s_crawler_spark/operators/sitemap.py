@@ -79,7 +79,8 @@ def sitemap_index_entries(sitemaps: DataFrame,
         .filter(F.col("child_url") != ""))
 
 
-def ingest_sitemaps(pages: DataFrame, max_depth: int = 2) -> DataFrame:
+def ingest_sitemaps(pages: DataFrame, max_depth: int = 2,
+                    _checkpoint: bool = True) -> DataFrame:
     """Full ingestion over a pages corpus: every ``*/sitemap*.xml`` page is
     parsed; index files are followed by joining their child pointers back
     onto the corpus (the same semi-join fetch-hop shape as the crawl wave —
@@ -99,12 +100,25 @@ def ingest_sitemaps(pages: DataFrame, max_depth: int = 2) -> DataFrame:
     for _ in range(max_depth - 1):
         # anti-join against already-parsed sitemaps: a child whose URL also
         # matches the top-level scan pattern must not be parsed twice
+        # both sides of the already-parsed anti-join are sitemap-DOCUMENT
+        # sized (one row per sitemap file, never page- or URL-entry-sized),
+        # so the parsed set broadcasts
         children = (sitemap_index_entries(frontier)
                     .select(F.col("child_url").alias("url")).distinct()
-                    .join(parsed, on="url", how="left_anti"))
-        frontier = (pages.join(children, on="url", how="leftsemi")
-                    .select("url", F.col("html").cast("string").alias("xml"))
-                    .localCheckpoint(eager=False))
+                    .join(F.broadcast(parsed), on="url", how="left_anti"))
+        # broadcast the (tiny) child key set explicitly — the same fetch-hop
+        # shape as plans/wave.py. Without the hint, an index tree past the
+        # auto-broadcast threshold falls back to a sort-merge join that
+        # shuffles the whole pages table INCLUDING html, violating the
+        # "html never enters an Exchange" invariant (audit-pinned below).
+        frontier = (pages.join(F.broadcast(children), on="url", how="leftsemi")
+                    .select("url", F.col("html").cast("string").alias("xml")))
+        if _checkpoint:
+            # two consumers (parse + next depth's pointer scan); lazy
+            # checkpoint stops double execution. ``_checkpoint=False`` is
+            # the explain_audit seam: checkpoints hide the hop joins from
+            # .explain, and the audit must see the whole plan.
+            frontier = frontier.localCheckpoint(eager=False)
         out = out.unionByName(parse_sitemaps(frontier))
         parsed = parsed.unionByName(frontier.select("url"))
     return out

@@ -71,8 +71,15 @@ def trap_hosts(urls: DataFrame, url_col: str = "url",
     """Per-host trap rollup: counts of URLs tripping each feature and an
     integer trap flag — ``is_trap = 1`` when suspicious URLs reach
     ``ratio_bp`` basis points of the host's total."""
+    from ..functions import scalars
+
     feats = url_trap_features(urls, url_col)
-    host = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/:?#]*)", 1)
+    # the rollup key MUST be scalars.url_host (parse_url HOST) — the same
+    # derivation the frontier uses (frontier.enqueue) — so the
+    # crawl(trap_guard=True) containment anti-join key is definitionally
+    # identical to frontier.host (a separate regexp kept userinfo and
+    # silently missed user@host URLs)
+    host = scalars.url_host(F.col(url_col))
     sus = ((F.col("path_depth") >= depth_threshold)
            | (F.col("max_repeat_seg") >= repeat_threshold)
            | (F.col("n_query_params") >= query_threshold))

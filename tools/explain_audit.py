@@ -299,6 +299,78 @@ def main() -> int:
          "(StringEndsWith in PushedFilters — rlike alone would not push)",
          "StringEndsWith(url,.xml)" in p14.replace(" ", "")),
     ])
+    # depth-2 ingest exercises the index child-pointer hop: the child key
+    # set must join as an explicit broadcast so the pages side (with html)
+    # never shuffles — pin it like the crawl fetch hops. Disable the
+    # auto-broadcast threshold so only the explicit hint can save us.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # _checkpoint=False: the operator's lazy checkpoints hide the hop
+        # joins from .explain; the seam exposes the identical plan
+        p15 = plan_of(smp.ingest_sitemaps(pages, max_depth=2,
+                                          _checkpoint=False))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    exch15 = exchange_inputs(p15)
+    all_ok &= audit("sitemap_ingest depth-2 (index child hop)", p15, [
+        ("child-pointer hop is a BroadcastHashJoin even with auto-broadcast"
+         " off (explicit hint present)",
+         "BroadcastHashJoin" in p15 and "SortMergeJoin" not in p15),
+        ("no Exchange carries html (pages side never shuffles)",
+         not any("html" in cols for cols in exch15)),
+    ])
+
+    # ---- corpusops: hierarchical cumsum + domain-bounded quantiles ------
+    # Machine-pin the two docstring claims: (a) pack_shards' only
+    # single-partition exchange carries BLOCK TOTALS, never corpus rows —
+    # the global cumsum is hierarchical; (b) score_quantiles' window input
+    # is the score-domain histogram, never the scored corpus.
+    from s_crawler_spark.operators import corpusops as co
+    from s_crawler_spark.operators import textstats as ts2
+
+    def single_partition_inputs(plan: str) -> list[str]:
+        # formatted explain puts the partitioning in the Arguments line,
+        # not the node header — match blocks whose header is an Exchange
+        # and whose body says SinglePartition
+        return [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+                for b in re.split(r"\n\n", plan)
+                if re.match(r"\(\d+\) Exchange",
+                            (b.splitlines()[0] if b.strip() else "").strip())
+                and "SinglePartition" in b
+                and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+
+    tok = ts2.token_stats_table(docs_audit).select("doc_id", "ws_tokens")
+    p16 = plan_of(co.pack_shards(tok))
+    sp16 = single_partition_inputs(p16)
+    sp16_cols = [{c.split("#")[0].strip() for c in s.split(",")} for s in sp16]
+    all_ok &= audit("pack_shards (hierarchical two-level cumsum)", p16, [
+        ("two Window nodes (per-block local + block-offset)",
+         len(re.findall(r"\(\d+\) Window", p16)) >= 2),
+        ("the single-partition exchange carries only block totals "
+         "(__blk columns), never doc rows",
+         bool(sp16_cols) and all(
+             cols <= {"__blk", "__blk_tokens"} for cols in sp16_cols)),
+        ("no range partitioning (no corpus-sized global sort)",
+         "rangepartitioning" not in p16.lower()),
+    ])
+
+    scored = docs_audit.select(
+        "doc_id", (F.xxhash64("doc_id") % 10000).cast("int")
+        .alias("quality_score_bp"))
+    p17 = plan_of(co.score_quantiles(scored))
+    sp17 = single_partition_inputs(p17)
+    sp17_cols = [{c.split("#")[0].strip() for c in s.split(",")} for s in sp17]
+    all_ok &= audit("score_quantiles (domain-bounded histogram)", p17, [
+        ("the cumulative window's single-partition exchange carries only "
+         "histogram rows (score, count) or the total's per-partition "
+         "partial sums, never scored corpus rows",
+         bool(sp17_cols) and all(
+             cols <= {"quality_score_bp", "__n", "sum"}
+             for cols in sp17_cols)),
+        ("quantile probe joins are broadcast (no corpus-sized shuffle join)",
+         "SortMergeJoin" not in p17),
+    ])
 
     # ---- redirect resolution: path doubling over id-only triples ---------
     p13 = plan_of(lg.resolve_redirects(ct._redirect_edges(spark, sf_dir)))
