@@ -7,10 +7,36 @@ over parquet + an atomic JSON manifest, with a 1:1 mapping to the Iceberg
 calls a cluster deployment would use:
 
     SnapshotStore.commit(df, table, wave)   ⇔  df.writeTo(tbl).overwritePartitions()
-                                                / MERGE INTO keyed by (wave, url_hash)
+    SnapshotStore.commit(df, table, wave,
+                         mode='delta',
+                         key=['url_hash'])  ⇔  MERGE INTO tbl USING df ON key
+                                               (merge-on-read: equality-delete
+                                               + data files, no base rewrite)
     SnapshotStore.read(table)               ⇔  spark.read.format('iceberg').load(tbl)
     SnapshotStore.read(table, snapshot=k)   ⇔  ...option('snapshot-id', k)  (time travel)
+    SnapshotStore.read(table, as_of_wave=w) ⇔  time travel by wave metadata
     SnapshotStore.latest_wave(table)        ⇔  snapshot summary metadata
+
+Why deltas: the reference's status sink is already per-row UPDATE
+(reference src/database_manager.py:105-131) — O(changed rows), never a table
+rewrite. At a 10^10-row frontier with ~10^6-row waves, committing the full
+frontier each wave is ~10,000× write amplification; ``mode='delta'`` commits
+only this wave's changed rows and ``read`` composes them merge-on-read:
+
+    base (newest full snapshot)
+      ⊕ deltas in snapshot order
+        key=None  → append (plain union)
+        key=[...] → upsert: newest row per key wins
+
+The upsert compose is scale-shaped: the newest-wins window runs over the
+*delta union only* (O(waves-since-compaction × wave size)), and the base is
+filtered with a ``left_anti`` join on the delta key set — a narrow key-only
+side that AQE broadcasts, so the O(total) base never shuffles. Compaction
+(a periodic ``mode='full'`` commit from the crawl loop) bounds the delta
+chain; ``expire_snapshots`` keeps the newest ``keep`` FULL snapshots plus
+every delta after the oldest kept full, so any retained snapshot is still
+composable (Iceberg: expireSnapshots never drops files a live snapshot
+references).
 
 Commit protocol (crash-safe, idempotent — SURVEY.md §7 hard part #5):
 1. write parquet to ``root/table/snap-<n>/`` (a re-run of a failed wave
@@ -18,9 +44,7 @@ Commit protocol (crash-safe, idempotent — SURVEY.md §7 hard part #5):
    overwrite, like an idempotent MERGE);
 2. atomically rename a temp manifest over ``root/table/MANIFEST.json``
    pointing at the new snapshot. Readers only ever see a fully-written
-   snapshot. The reference's analogue is per-row immediate UPDATE
-   (science_crawler_main.py:241-249) — same resume-anywhere property,
-   commit-per-wave instead of commit-per-row.
+   snapshot.
 """
 
 from __future__ import annotations
@@ -28,8 +52,10 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 class SnapshotStore:
@@ -57,10 +83,23 @@ class SnapshotStore:
 
     # -- public API ----------------------------------------------------------
     def commit(self, df: DataFrame, table: str, wave: int,
-               meta: dict | None = None) -> int:
+               meta: dict | None = None,
+               mode: str = "full",
+               key: list[str] | None = None) -> int:
         """Write df as the table's next snapshot; returns snapshot id.
         Re-committing the same wave overwrites its snapshot (idempotent
-        re-run of a failed wave)."""
+        re-run of a failed wave).
+
+        ``mode='full'`` (default): df is the complete table state.
+        ``mode='delta'``: df carries only this wave's changed rows —
+        ``key=None`` appends them on read; ``key=[cols]`` upserts them
+        (a delta row replaces any earlier row with the same key; within one
+        delta, keys are expected unique). O(wave) write, merge-on-read.
+        """
+        if mode not in ("full", "delta"):
+            raise ValueError(f"mode must be 'full' or 'delta', got {mode!r}")
+        if key is not None and mode != "delta":
+            raise ValueError("key is only meaningful with mode='delta'")
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
         manifest = self._load_manifest(table)
@@ -72,26 +111,76 @@ class SnapshotStore:
                    max((s["id"] for s in manifest["snapshots"]), default=-1) + 1)
         path = os.path.join(tdir, f"snap-{snap_id}")
         df.write.mode("overwrite").parquet(path)
-        entry = {"id": snap_id, "wave": wave, "path": path, "meta": meta or {}}
+        entry = {"id": snap_id, "wave": wave, "path": path, "mode": mode,
+                 "meta": meta or {}}
+        if key is not None:
+            entry["key"] = list(key)
         manifest["snapshots"] = [s for s in manifest["snapshots"] if s["wave"] != wave]
         manifest["snapshots"].append(entry)
         manifest["snapshots"].sort(key=lambda s: s["id"])
         self._write_manifest(table, manifest)
         return snap_id
 
+    def commit_delta(self, df: DataFrame, table: str, wave: int,
+                     key: list[str] | None = None,
+                     meta: dict | None = None) -> int:
+        """Sugar for ``commit(..., mode='delta', key=key)``."""
+        return self.commit(df, table, wave, meta=meta, mode="delta", key=key)
+
+    @staticmethod
+    def _compose(spark: SparkSession, snaps: list[dict]) -> DataFrame:
+        """Merge-on-read composition of an ordered snapshot chain whose first
+        entry is the base. The newest-wins window runs over the DELTA UNION
+        ONLY (never the base — explain_audit pins every Window input to
+        carry ``__ord``, which only delta rows have); the base joins the
+        delta key set as a left_anti whose key-only build side AQE
+        broadcasts, so the O(total) base never shuffles."""
+        base = spark.read.parquet(snaps[0]["path"])
+        if len(snaps) == 1:
+            return base
+        deltas = snaps[1:]
+        key = next((s["key"] for s in reversed(deltas) if s.get("key")), None)
+        du = reduce(
+            lambda a, b: a.unionByName(b),
+            (spark.read.parquet(s["path"]).withColumn("__ord", F.lit(i))
+             for i, s in enumerate(deltas, start=1)))
+        if key:
+            w = Window.partitionBy(*key).orderBy(F.col("__ord").desc())
+            du = (du.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+            base = base.join(du.select(*key).distinct(), on=key, how="left_anti")
+        return base.unionByName(du.drop("__ord"))
+
     def read(self, spark: SparkSession, table: str,
-             snapshot: int | None = None) -> DataFrame | None:
-        """Latest (or time-travel) snapshot as a DataFrame; None if the table
-        has no committed snapshot yet."""
-        manifest = self._load_manifest(table)
-        snaps = manifest["snapshots"]
+             snapshot: int | None = None,
+             as_of_wave: int | None = None) -> DataFrame | None:
+        """Table state as a DataFrame (merge-on-read over base ⊕ deltas);
+        None if the table has no committed snapshot yet. ``snapshot=k``
+        time-travels to snapshot k (composing the delta chain up to it);
+        ``as_of_wave=w`` time-travels to the last snapshot with wave ≤ w —
+        the resume path: re-running an interrupted wave w reads state
+        exactly as wave w-1 left it."""
+        snaps = self._load_manifest(table)["snapshots"]
+        if snapshot is not None:
+            idx = next(i for i, s in enumerate(snaps) if s["id"] == snapshot)
+            snaps = snaps[:idx + 1]
+        if as_of_wave is not None:
+            snaps = [s for s in snaps if s["wave"] <= as_of_wave]
         if not snaps:
             return None
-        if snapshot is None:
-            entry = snaps[-1]
-        else:
-            entry = next(s for s in snaps if s["id"] == snapshot)
-        return spark.read.parquet(entry["path"])
+        base_idx = max(
+            (i for i, s in enumerate(snaps) if s.get("mode", "full") == "full"),
+            default=0)
+        return self._compose(spark, snaps[base_idx:])
+
+    def read_snapshot_raw(self, spark: SparkSession, table: str,
+                          wave: int) -> DataFrame | None:
+        """The raw rows of wave w's snapshot file alone (a delta's change
+        set, a full's complete state) — the O(wave)-commit evidence surface;
+        no composition."""
+        entry = next((s for s in self._load_manifest(table)["snapshots"]
+                      if s["wave"] == wave), None)
+        return spark.read.parquet(entry["path"]) if entry else None
 
     def snapshots(self, table: str) -> list[dict]:
         return self._load_manifest(table)["snapshots"]
@@ -107,18 +196,21 @@ class SnapshotStore:
 
     def expire_snapshots(self, table: str | None = None,
                          keep: int = 2) -> int:
-        """Drop all but the newest ``keep`` snapshots per table — the
-        Iceberg ``expireSnapshots(olderThan)`` analogue. Resume needs only
-        the latest snapshot; ``keep >= 2`` retains one time-travel step.
+        """Drop old snapshots — the Iceberg ``expireSnapshots`` analogue.
 
-        At a 10^10-URL frontier each snapshot is the full state table, so
-        an unexpired 50-wave crawl stores 50× the live bytes — expiry
-        between waves (or from a janitor job) bounds storage at
-        ``keep × table size``. Crash-safe ordering: the manifest is
-        atomically rewritten FIRST (readers never see an expired entry),
-        then the orphaned snapshot directories are deleted — a crash in
-        between leaves unreachable dirs that the next expiry removes.
-        Returns the number of snapshots expired.
+        Keeps the newest ``keep`` FULL snapshots plus every delta newer than
+        the oldest kept full (a retained delta is only readable with its
+        base chain, so expiry never orphans one — the same invariant as
+        Iceberg never deleting files a live snapshot references). For a
+        table of all-full snapshots this is exactly "keep the newest
+        ``keep``". Deltas are O(wave)-sized, so storage stays bounded at
+        ``keep × table size + deltas-since-last-compaction``; the crawl
+        loop's periodic full commit (``compact_every``) bounds the tail.
+
+        Crash-safe ordering: the manifest is atomically rewritten FIRST
+        (readers never see an expired entry), then the orphaned snapshot
+        directories are deleted — a crash in between leaves unreachable
+        dirs that the next expiry removes. Returns snapshots expired.
         """
         import shutil
 
@@ -127,15 +219,20 @@ class SnapshotStore:
         for t in ([table] if table is not None else self.tables()):
             manifest = self._load_manifest(t)
             snaps = manifest["snapshots"]
-            if len(snaps) <= keep:
+            full_idx = [i for i, s in enumerate(snaps)
+                        if s.get("mode", "full") == "full"]
+            # cutoff = first index to keep: the keep-th-newest full snapshot
+            # (or 0 if fewer fulls exist — nothing before a base can go)
+            cutoff = full_idx[-keep] if len(full_idx) >= keep else 0
+            if cutoff == 0:
                 continue
-            kept, dropped = snaps[-keep:], snaps[:-keep]
+            kept, dropped = snaps[cutoff:], snaps[:cutoff]
             manifest["snapshots"] = kept
             self._write_manifest(t, manifest)
             # compare by snapshot BASENAME, not full path: a store opened
             # via a differently-spelled root ("./data" vs "data") must not
             # mistake live snapshots for orphans
-            live = {f"snap-{s['id']}" for s in kept}
+            live = {os.path.basename(s["path"]) for s in kept}
             tdir = os.path.join(self.root, t)
             for d in os.listdir(tdir):  # includes prior-crash orphans
                 if d.startswith("snap-") and d not in live:

@@ -1,0 +1,137 @@
+"""SnapshotStore delta-commit semantics (the Iceberg MERGE-on-read analogue).
+
+The reference's status sink is per-row UPDATE (src/database_manager.py:105-131)
+— O(changed rows). These tests pin the store-layer contract that makes the
+wave loop O(wave) instead of O(total state): append deltas, keyed upserts
+(newest wins), time travel across a delta chain, compaction as a mid-chain
+full commit, and expiry that never orphans a delta from its base.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from s_crawler_spark.sources.store import SnapshotStore
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def _state(spark, store, table, **kw):
+    df = store.read(spark, table, **kw)
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def test_append_delta_compose(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)
+    st.commit_delta(_df(spark, [{"k": 2, "v": "b"}]), "t", wave=1)
+    st.commit_delta(_df(spark, [{"k": 3, "v": "c"}]), "t", wave=2)
+    assert _state(spark, st, "t") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_keyed_delta_upsert_newest_wins(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]), "t", wave=0)
+    # wave 1 updates k=1 and inserts k=3; wave 2 updates k=1 again
+    st.commit_delta(_df(spark, [{"k": 1, "v": "a1"}, {"k": 3, "v": "c"}]),
+                    "t", wave=1, key=["k"])
+    st.commit_delta(_df(spark, [{"k": 1, "v": "a2"}]), "t", wave=2, key=["k"])
+    assert _state(spark, st, "t") == [(1, "a2"), (2, "b"), (3, "c")]
+
+
+def test_time_travel_across_delta_chain(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)
+    sid1 = st.commit_delta(_df(spark, [{"k": 1, "v": "a1"}]), "t", wave=1,
+                           key=["k"])
+    st.commit_delta(_df(spark, [{"k": 2, "v": "b"}]), "t", wave=2, key=["k"])
+    assert _state(spark, st, "t", as_of_wave=0) == [(1, "a")]
+    assert _state(spark, st, "t", as_of_wave=1) == [(1, "a1")]
+    assert _state(spark, st, "t", snapshot=sid1) == [(1, "a1")]
+    assert _state(spark, st, "t") == [(1, "a1"), (2, "b")]
+
+
+def test_compaction_full_commit_resets_base(spark, tmp_path):
+    """A mid-chain full commit becomes the new read base; older snapshots
+    stay readable for time travel until expired."""
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)
+    st.commit_delta(_df(spark, [{"k": 2, "v": "b"}]), "t", wave=1, key=["k"])
+    # compaction: materialized full state at wave 2
+    st.commit(_df(spark, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]), "t", wave=2)
+    st.commit_delta(_df(spark, [{"k": 2, "v": "b1"}]), "t", wave=3, key=["k"])
+    assert _state(spark, st, "t") == [(1, "a"), (2, "b1")]
+    assert _state(spark, st, "t", as_of_wave=1) == [(1, "a"), (2, "b")]
+
+
+def test_delta_commit_is_wave_idempotent(spark, tmp_path):
+    """Re-running a failed wave overwrites its own delta, never stacks a
+    second copy (crash-resume re-executes the interrupted wave)."""
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)
+    st.commit_delta(_df(spark, [{"k": 2, "v": "b"}]), "t", wave=1, key=["k"])
+    st.commit_delta(_df(spark, [{"k": 2, "v": "b"}]), "t", wave=1, key=["k"])
+    assert len(st.snapshots("t")) == 2
+    assert _state(spark, st, "t") == [(1, "a"), (2, "b")]
+
+
+def test_read_snapshot_raw_is_the_delta_alone(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]), "t", wave=0)
+    st.commit_delta(_df(spark, [{"k": 1, "v": "a1"}]), "t", wave=1, key=["k"])
+    raw = st.read_snapshot_raw(spark, "t", wave=1)
+    assert [(r["k"], r["v"]) for r in raw.collect()] == [(1, "a1")]
+
+
+def test_expire_keeps_fulls_plus_trailing_deltas(spark, tmp_path):
+    """Expiry keeps the newest ``keep`` FULL snapshots and every delta after
+    the oldest kept full — a retained delta always has its base chain."""
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)            # full
+    st.commit_delta(_df(spark, [{"k": 2, "v": "b"}]), "t", wave=1)      # delta
+    st.commit(_df(spark, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]),
+              "t", wave=2)                                              # full
+    st.commit_delta(_df(spark, [{"k": 3, "v": "c"}]), "t", wave=3)      # delta
+    st.commit(_df(spark, [{"k": i, "v": v} for i, v in
+                          [(1, "a"), (2, "b"), (3, "c")]]), "t", wave=4)  # full
+    st.commit_delta(_df(spark, [{"k": 4, "v": "d"}]), "t", wave=5)      # delta
+    n = st.expire_snapshots("t", keep=2)
+    waves = [s["wave"] for s in st.snapshots("t")]
+    assert waves == [2, 3, 4, 5]  # fulls 2,4 + every delta after full 2
+    assert n == 2
+    # expired dirs are really gone, kept ones readable
+    live = {os.path.basename(s["path"]) for s in st.snapshots("t")}
+    on_disk = {d for d in os.listdir(tmp_path / "s" / "t")
+               if d.startswith("snap-")}
+    assert on_disk == live
+    assert _state(spark, st, "t") == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_expire_never_strands_a_delta_without_base(spark, tmp_path):
+    """With fewer than ``keep`` fulls nothing expires (a delta before the
+    only base would become unreadable)."""
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)
+    for w in range(1, 5):
+        st.commit_delta(_df(spark, [{"k": 10 + w, "v": "x"}]), "t", wave=w)
+    assert st.expire_snapshots("t", keep=2) == 0
+    assert len(st.snapshots("t")) == 5
+
+
+def test_all_full_expiry_matches_old_semantics(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "s"))
+    for w in range(5):
+        st.commit(_df(spark, [{"k": w, "v": "x"}]), "t", wave=w)
+    st.expire_snapshots("t", keep=2)
+    assert [s["wave"] for s in st.snapshots("t")] == [3, 4]
+
+
+def test_mode_key_validation(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "s"))
+    with pytest.raises(ValueError):
+        st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", 0, mode="merge")
+    with pytest.raises(ValueError):
+        st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", 0, key=["k"])
