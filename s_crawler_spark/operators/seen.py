@@ -63,6 +63,17 @@ def bloom_build(keys: np.ndarray, n_bits: int, k: int = DEFAULT_K) -> bytes:
     return bits.tobytes()
 
 
+def bloom_add(bits: bytes, keys: np.ndarray, k: int = DEFAULT_K) -> bytes:
+    """OR new keys into an existing filter (same n_bits ⇒ same positions, so
+    ``bloom_add(bloom_build(A), B) == bloom_build(A ∪ B)`` at equal sizing —
+    the incremental-maintenance identity update_shards relies on)."""
+    arr = np.frombuffer(bits, dtype=np.uint8).copy()
+    n_bits = len(arr) * 8
+    for pos in _bloom_positions(keys, n_bits, k):
+        np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return arr.tobytes()
+
+
 def bloom_probe(bits: bytes, keys: np.ndarray, k: int = DEFAULT_K) -> np.ndarray:
     arr = np.frombuffer(bits, dtype=np.uint8)
     n_bits = len(arr) * 8
@@ -99,9 +110,11 @@ def _pow2_at_least(n: int) -> int:
     return 1 << max(4, (n - 1).bit_length())
 
 
-def cuckoo_build(keys: np.ndarray, n_buckets: int) -> bytes:
-    n_buckets = _pow2_at_least(n_buckets)
-    table = np.zeros(n_buckets * _CK_SLOTS, dtype=np.uint16)
+def _cuckoo_insert_all(table: np.ndarray, keys: np.ndarray) -> bool:
+    """Insert keys into an existing table in place; False on kick failure.
+    Deterministic: the kick RNG starts from a fixed seed per call, so the
+    same (table, keys) always yields the same layout."""
+    n_buckets = len(table) // _CK_SLOTS
     rng_state = np.uint64(0x2545F4914F6CDD1D)  # deterministic kick choice
     fps = _ck_fingerprint(keys.astype(np.uint64))
     i1s = keys.astype(np.uint64) % np.uint64(n_buckets)
@@ -131,8 +144,26 @@ def cuckoo_build(keys: np.ndarray, n_buckets: int) -> bytes:
                 cur = None
                 break
         if cur is not None:
-            raise RuntimeError("cuckoo filter over capacity; grow n_buckets")
+            return False
+    return True
+
+
+def cuckoo_build(keys: np.ndarray, n_buckets: int) -> bytes:
+    n_buckets = _pow2_at_least(n_buckets)
+    table = np.zeros(n_buckets * _CK_SLOTS, dtype=np.uint16)
+    if not _cuckoo_insert_all(table, keys):
+        raise RuntimeError("cuckoo filter over capacity; grow n_buckets")
     return table.tobytes()
+
+
+def cuckoo_add(bits: bytes, keys: np.ndarray) -> bytes | None:
+    """Insert new keys into an existing cuckoo table; None when the table
+    would exceed the 0.84 load factor its sizing assumed (or a kick chain
+    fails) — the caller rebuilds that shard with headroom instead."""
+    table = np.frombuffer(bits, dtype=np.uint16).copy()
+    if np.count_nonzero(table) + len(keys) > 0.84 * len(table):
+        return None
+    return table.tobytes() if _cuckoo_insert_all(table, keys) else None
 
 
 def cuckoo_probe(bits: bytes, keys: np.ndarray) -> np.ndarray:
@@ -180,15 +211,21 @@ SHARDS_SCHEMA = T.StructType([
 def build_shards(seen: DataFrame, n_shards: int,
                  bits_per_key: int = DEFAULT_BITS_PER_KEY,
                  kind: str = "bloom",
-                 key_col: str = "url_hash") -> DataFrame:
-    """seen(url_hash,...) → seen_shards, one filter blob per hash shard."""
+                 key_col: str = "url_hash",
+                 headroom: float = 1.0) -> DataFrame:
+    """seen(url_hash,...) → seen_shards, one filter blob per hash shard.
+
+    ``headroom`` over-sizes each blob by that factor so subsequent
+    incremental ``update_shards`` waves can add keys in place before the
+    shard's next amortized rebuild (1.0 = exact sizing, the one-shot path).
+    """
     def make_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
         keys = pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
         if kind == "cuckoo":
-            n_buckets = max(16, int(len(keys) / (0.84 * _CK_SLOTS)) + 1)
+            n_buckets = max(16, int(len(keys) * headroom / (0.84 * _CK_SLOTS)) + 1)
             bits = cuckoo_build(keys, n_buckets)
         else:
-            bits = bloom_build(keys, max(64, len(keys) * bits_per_key))
+            bits = bloom_build(keys, max(64, int(len(keys) * bits_per_key * headroom)))
         return pd.DataFrame({
             "shard_id": [int(key[0])], "kind": [kind],
             "bits": [bits], "n_items": [len(keys)],
@@ -199,6 +236,84 @@ def build_shards(seen: DataFrame, n_shards: int,
         .groupBy("shard_id")
         .applyInPandas(make_shard, schema=SHARDS_SCHEMA)
     )
+
+
+_SHARDS_SCHEMA_NULLABLE = T.StructType([
+    T.StructField("shard_id", T.IntegerType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("bits", T.BinaryType(), True),   # NULL = rebuild marker
+    T.StructField("n_items", T.LongType(), False),
+])
+
+
+def update_shards(shards: DataFrame, new_keys: DataFrame, seen: DataFrame,
+                  n_shards: int,
+                  bits_per_key: int = DEFAULT_BITS_PER_KEY,
+                  kind: str = "bloom",
+                  key_col: str = "url_hash",
+                  headroom: float = 2.0) -> DataFrame:
+    """Incremental seen-shard maintenance: fold this wave's new keys into
+    ONLY the shards they hash to and return those updated rows (the caller
+    commits them as a keyed delta on ``shard_id``; untouched blobs are
+    carried forward by the store's merge-on-read compose, never re-hashed,
+    never shuffled — the O(wave) replacement for rebuilding every shard
+    from the full seen set each wave).
+
+    Shape: new keys → touched shard ids (a tiny broadcast) → left-semi
+    prune of the blob table → COGROUP of (touched blobs × their new keys),
+    same never-join-blobs-onto-rows rule as probe_shards. In-place add
+    (bloom OR / cuckoo insert) while the blob has capacity; a shard past
+    its sizing emits a rebuild marker and is rebuilt from ``seen``
+    (post-wave state) with ``headroom`` over-sizing — the doubling
+    amortization, so a hot shard rebuilds O(log growth) times, not every
+    wave. ``seen`` is only scanned for marked shards (left-semi on
+    shard_id; empty marker set ⇒ empty scan).
+    """
+    keyed = new_keys.select(
+        F.col(key_col),
+        F.pmod(F.col(key_col), F.lit(n_shards)).cast("int").alias("shard_id"))
+    touched = keyed.select("shard_id").distinct()
+    old_touched = shards.join(F.broadcast(touched), on="shard_id", how="left_semi")
+
+    bpk, knd, hr = bits_per_key, kind, headroom  # plain closures only
+
+    def upd(key, shard_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+        ks = keys_pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        if len(shard_pdf) == 0:
+            # shard born this wave: fresh blob with headroom
+            if knd == "cuckoo":
+                nb = max(16, int(len(ks) * hr / (0.84 * _CK_SLOTS)) + 1)
+                new_bits = cuckoo_build(ks, nb)
+            else:
+                new_bits = bloom_build(ks, max(64, int(len(ks) * bpk * hr)))
+            return pd.DataFrame({"shard_id": [int(key[0])], "kind": [knd],
+                                 "bits": [new_bits], "n_items": [len(ks)]})
+        blob = shard_pdf["bits"].iloc[0]
+        n_items = int(shard_pdf["n_items"].iloc[0])
+        shard_kind = shard_pdf["kind"].iloc[0]
+        if shard_kind == "cuckoo":
+            new_bits = cuckoo_add(blob, ks)
+        elif (n_items + len(ks)) * bpk <= len(blob) * 8:
+            new_bits = bloom_add(blob, ks)
+        else:
+            new_bits = None  # over sizing capacity → rebuild marker
+        return pd.DataFrame({"shard_id": [int(key[0])], "kind": [shard_kind],
+                             "bits": [new_bits], "n_items": [n_items + len(ks)]})
+
+    updated = (old_touched.groupBy("shard_id")
+               .cogroup(keyed.groupBy("shard_id"))
+               .applyInPandas(upd, schema=_SHARDS_SCHEMA_NULLABLE)
+               .localCheckpoint(eager=False))  # consumers: ok + markers
+    ok = updated.filter(F.col("bits").isNotNull())
+    markers = updated.filter(F.col("bits").isNull()).select("shard_id")
+    rebuild_src = (seen.select(key_col)
+                   .withColumn("shard_id",
+                               F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+                   .join(F.broadcast(markers), on="shard_id", how="left_semi")
+                   .drop("shard_id"))
+    rebuilt = build_shards(rebuild_src, n_shards, bits_per_key=bits_per_key,
+                           kind=kind, key_col=key_col, headroom=headroom)
+    return ok.unionByName(rebuilt)
 
 
 def probe_shards(candidates: DataFrame, shards: DataFrame,

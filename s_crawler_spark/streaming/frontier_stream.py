@@ -136,20 +136,20 @@ _STATE_SCHEMA = T.StructType([
 ])
 
 
-def _make_admission_fn(crawl_delay_ms: int, burst: int,
-                       host_delays: dict[str, int] | None = None):
-    delays = dict(host_delays or {})
-
+def _make_admission_fn(crawl_delay_ms: int, burst: int):
     def admit(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        (host,) = key
-        # per-host accrual rate from the broadcast policy (parity with
-        # compose_wave: each host earns tokens at 1000/its own delay)
-        rate = 1000.0 / delays.get(host, crawl_delay_ms)
+        # per-host accrual rate from the row-decorated policy (parity with
+        # compose_wave: each host earns tokens at 1000/its own delay). The
+        # delay rides ON the rows — joined as a broadcast dimension before
+        # the host shuffle — so the state closure carries no host map and
+        # the policy never materializes on the driver.
         if state.exists:
             tokens, last_epoch = state.get
         else:
             tokens, last_epoch = float(burst), None
         rows = pd.concat(list(pdfs)).sort_values("seq")
+        d = rows["__delay_ms"].dropna()
+        rate = 1000.0 / (float(d.iloc[0]) if len(d) else crawl_delay_ms)
         # token accrual uses event time (discovered_at) — deterministic
         # under replay, no wall clock anywhere
         now_epoch = rows["discovered_at"].max().timestamp()
@@ -179,22 +179,31 @@ def politeness_admission(discoveries: DataFrame,
 
     ``host_policy`` carries per-host crawl delays — a {host: delay_ms}
     mapping or the batch host_policy table (host, crawl_delay_ms, ...);
-    hosts absent from it accrue at the default ``crawl_delay_ms``. A
-    DataFrame policy is collected once on the driver: it is the same tiny
-    broadcast dimension compose_wave broadcasts (J4), never frontier-sized,
-    and the mapping ships to state tasks inside the admission closure."""
-    host_delays: dict[str, int] | None
-    if isinstance(host_policy, DataFrame):
-        host_delays = {r["host"]: r["crawl_delay_ms"]
-                       for r in host_policy.select(
-                           "host", "crawl_delay_ms").collect()}
+    hosts absent from it accrue at the default ``crawl_delay_ms``. The
+    policy joins the micro-batch as a stream-static BROADCAST dimension
+    before the host shuffle (the same J4 shape compose_wave uses) and the
+    state function reads the rate off its group's rows — no driver
+    ``collect()``, no per-task pickled host map: at an open-web host count
+    (10^7+) the policy stays a distributed table end to end."""
+    pending = discoveries.filter(F.col("status") == "pending")
+    if host_policy is None:
+        decorated = pending.withColumn("__delay_ms",
+                                       F.lit(None).cast("int"))
     else:
-        host_delays = host_policy
+        if isinstance(host_policy, dict):
+            pol = discoveries.sparkSession.createDataFrame(
+                list(host_policy.items()), "host string, crawl_delay_ms int")
+        else:
+            pol = host_policy
+        decorated = pending.join(
+            F.broadcast(pol.select("host", F.col("crawl_delay_ms")
+                                   .cast("int").alias("__delay_ms"))),
+            on="host", how="left")
     return (
-        discoveries.filter(F.col("status") == "pending")
+        decorated
         .groupBy("host")
         .applyInPandasWithState(
-            _make_admission_fn(crawl_delay_ms, burst, host_delays),
+            _make_admission_fn(crawl_delay_ms, burst),
             outputStructType=ADMIT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

@@ -76,3 +76,97 @@ def test_probe_empty_shards_means_unseen(spark):
     empty = spark.createDataFrame([], sn.SHARDS_SCHEMA)
     probed = sn.probe_shards(cand, empty)
     assert all(not r["maybe_seen"] for r in probed.collect())
+
+
+# --------------------------------------------------------------------------
+# Incremental shard maintenance (update_shards — the O(wave) seen path)
+# --------------------------------------------------------------------------
+
+def test_bloom_add_equals_build_union():
+    a, b = rnd_keys(3000, 7), rnd_keys(500, 8)
+    n_bits = 6 * 3500 * 2
+    assert sn.bloom_add(sn.bloom_build(a, n_bits), b) == \
+        sn.bloom_build(np.concatenate([a, b]), n_bits)
+
+
+def test_cuckoo_add_and_overflow():
+    a = rnd_keys(30, 9)
+    bits = sn.cuckoo_build(a, 32)
+    more = rnd_keys(20, 10)
+    out = sn.cuckoo_add(bits, more)
+    assert out is not None
+    assert sn.cuckoo_probe(out, a).all() and sn.cuckoo_probe(out, more).all()
+    # past the 0.84 load factor the add refuses (caller rebuilds)
+    flood = rnd_keys(32 * 4, 11)
+    assert sn.cuckoo_add(bits, flood) is None
+
+
+def _shards_by_id(df):
+    return {r["shard_id"]: r for r in df.collect()}
+
+
+def test_update_shards_touches_only_hashed_shards(spark):
+    seen0 = spark.createDataFrame(
+        [(k,) for k in (0, 4, 8, 1, 5, 2)], "url_hash long")
+    shards = sn.build_shards(seen0, 4, headroom=2.0).localCheckpoint()
+    before = _shards_by_id(shards)
+    new = spark.createDataFrame([(12,)], "url_hash long")   # shard 0 only
+    seen1 = seen0.unionByName(new)
+    upd = sn.update_shards(shards, new, seen1, 4, headroom=2.0)
+    got = _shards_by_id(upd)
+    # only the touched shard comes back; its blob size is unchanged
+    # (in-place add within headroom), count advanced
+    assert set(got) == {0}
+    assert len(got[0]["bits"]) == len(before[0]["bits"])
+    assert got[0]["n_items"] == before[0]["n_items"] + 1
+    keys = np.array([0, 4, 8, 12], dtype=np.uint64)
+    assert sn.bloom_probe(got[0]["bits"], keys).all()
+    # untouched blobs compose forward byte-identical
+    assert got.get(1) is None and got.get(2) is None
+
+
+def test_update_shards_rebuilds_over_capacity(spark):
+    seen0 = spark.createDataFrame(
+        [(k,) for k in (1, 5)], "url_hash long")            # shard 1
+    shards = sn.build_shards(seen0, 4, headroom=2.0).localCheckpoint()
+    before = _shards_by_id(shards)
+    # 2*10*2=40 -> 64-bit min blob, capacity 6 keys; +5 keys = 7 > 6
+    newk = [(4 * i + 1,) for i in range(3, 8)]
+    new = spark.createDataFrame(newk, "url_hash long")
+    seen1 = seen0.unionByName(new)
+    upd = sn.update_shards(shards, new, seen1, 4, headroom=2.0)
+    got = _shards_by_id(upd)
+    assert set(got) == {1}
+    assert len(got[1]["bits"]) > len(before[1]["bits"])     # rebuilt, grown
+    assert got[1]["n_items"] == 7
+    keys = np.array([k for (k,) in [(1,), (5,)] + newk], dtype=np.uint64)
+    assert sn.bloom_probe(got[1]["bits"], keys).all()
+
+
+def test_update_shards_births_new_shard(spark):
+    seen0 = spark.createDataFrame([(0,), (4,)], "url_hash long")  # shard 0
+    shards = sn.build_shards(seen0, 4, headroom=2.0).localCheckpoint()
+    new = spark.createDataFrame([(3,), (7,)], "url_hash long")    # shard 3
+    upd = sn.update_shards(shards, new, seen0.unionByName(new), 4,
+                           headroom=2.0)
+    got = _shards_by_id(upd)
+    assert set(got) == {3}
+    assert sn.bloom_probe(got[3]["bits"],
+                          np.array([3, 7], dtype=np.uint64)).all()
+
+
+def test_update_shards_cuckoo_kind(spark):
+    seen0 = spark.createDataFrame(
+        [(int(k),) for k in rnd_keys(40, 12)], "url_hash long")
+    shards = sn.build_shards(seen0, 2, kind="cuckoo",
+                             headroom=2.0).localCheckpoint()
+    new = spark.createDataFrame(
+        [(int(k),) for k in rnd_keys(10, 13)], "url_hash long")
+    upd = sn.update_shards(shards, new, seen0.unionByName(new), 2,
+                           kind="cuckoo", headroom=2.0)
+    # probe through the composed (updated ⊕ untouched) shard table
+    untouched = shards.join(upd.select("shard_id"), "shard_id", "left_anti")
+    composed = upd.unionByName(untouched)
+    probed = sn.probe_shards(seen0.unionByName(new), composed,
+                             n_shards=2)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0

@@ -232,8 +232,10 @@ def test_snapshot_expiry_bounds_storage_and_resumes(spark, pages, pages_dict,
     import os
     sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
     store = SnapshotStore(str(tmp_path / "exp"))
+    # compact_every=1 = all-full commits (the legacy shape this test pins);
+    # delta-mode expiry is covered by test_delta_crawl_storage_bounded
     crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
-          max_waves=3, n_shards=4, expire_keep=2)
+          max_waves=3, n_shards=4, expire_keep=2, compact_every=1)
     n_waves = store.latest_wave("frontier") + 1
     assert n_waves == 3
     for t in ("frontier", "articles", "seen", "candidates", "seen_shards"):
@@ -247,5 +249,99 @@ def test_snapshot_expiry_bounds_storage_and_resumes(spark, pages, pages_dict,
     for t in ("fetch_log", "lineage", "phase_log"):
         assert len(store.snapshots(t)) == n_waves, t  # ledger untouched
     cat = crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
-                max_waves=30, n_shards=4, expire_keep=2)
+                max_waves=30, n_shards=4, expire_keep=2, compact_every=1)
     assert_parity(cat.collect(), sim)
+
+
+def test_delta_commits_are_wave_sized(spark, pages, pages_dict, tmp_path):
+    """O(wave) state I/O: wave 0 is the full base; later waves commit ONLY
+    the change set (outcome rows + that wave's discoveries) — never an
+    unchanged row — and reads compose back to the exact reference crawl."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "delta"))
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards=4)
+    assert_parity(cat.collect(), sim)
+    snaps = store.snapshots("frontier")
+    assert len(snaps) >= 3
+    assert snaps[0]["mode"] == "full"
+    assert all(s["mode"] == "delta" for s in snaps[1:] if s["wave"] % 8)
+    total = store.read(spark, "frontier").count()
+    delta_rows = 0
+    for s in snaps[1:]:
+        raw = store.read_snapshot_raw(spark, "frontier", s["wave"])
+        n = raw.count()
+        assert 0 < n < total, s["wave"]
+        # a pending, attempt-0 row discovered in an earlier wave is an
+        # UNCHANGED row — deltas must never carry one
+        assert raw.filter((F.col("status") == "pending")
+                          & (F.col("attempts") == 0)
+                          & (F.col("wave") != s["wave"])).count() == 0
+        delta_rows += n
+        # shard deltas carry only the touched shards
+        sh = store.read_snapshot_raw(spark, "seen_shards", s["wave"])
+        assert 0 < sh.count() <= 4
+    # every admitted row transitions at most MAX_ATTEMPTS times; with the
+    # corpus' all-success fetches each URL appears in exactly one delta
+    assert delta_rows <= total
+
+
+def test_delta_shards_compose_and_untouched_blobs_stable(spark, pages,
+                                                         pages_dict, tmp_path):
+    """Across a delta wave, shards NOT touched by new keys stay
+    byte-identical in the composed view, and the composed shard table keeps
+    the exact-seen contract (probe ∪ backstop == plain anti-join)."""
+    from s_crawler_spark.operators import seen as sn
+    store = SnapshotStore(str(tmp_path / "sh"))
+    crawl(spark, pages, seed_search_url(), store,
+          wave_seconds=100, max_waves=30, n_shards=4)
+    snaps = store.snapshots("seen_shards")
+    deltas = [s for s in snaps if s["mode"] == "delta"]
+    assert deltas, "expected at least one delta shard commit"
+    w = deltas[-1]["wave"]
+    before = {r["shard_id"]: bytes(r["bits"])
+              for r in store.read(spark, "seen_shards",
+                                  as_of_wave=w - 1).collect()}
+    after = {r["shard_id"]: bytes(r["bits"])
+             for r in store.read(spark, "seen_shards").collect()}
+    touched = {r["shard_id"] for r in
+               store.read_snapshot_raw(spark, "seen_shards", w).collect()}
+    untouched_stable = [sid for sid in before
+                        if sid not in touched and sid in after]
+    for sid in untouched_stable:
+        assert before[sid] == after[sid], sid
+    # composed filter still gives the exact seen semantics
+    seen = store.read(spark, "seen")
+    shards = store.read(spark, "seen_shards")
+    cand = seen.select("url_hash").unionByName(
+        spark.range(1000, 1050).select(F.col("id").alias("url_hash")))
+    got = sn.dedup_against_seen(cand, seen, shards)
+    exact = cand.join(seen.select("url_hash"), "url_hash", "left_anti")
+    assert sorted(r["url_hash"] for r in got.collect()) == \
+        sorted(r["url_hash"] for r in exact.collect())
+
+
+def test_trap_guard_fixpoint_break(spark, tmp_path):
+    """A frontier whose whole pending set is trap-contained reaches a
+    fixpoint: no admissions, no discoveries, nothing waiting on backoff —
+    the loop must stop after one empty wave, not run max_waves barriers."""
+    from s_crawler_spark.operators import frontier as fr
+    from s_crawler_spark.plans.wave import LOGICAL_T0
+
+    trap_urls = ["https://trap.org/" + "/".join(["loop"] * 9) + f"/p{i}"
+                 for i in range(5)]
+    cand = spark.createDataFrame(
+        [(u, 1, i) for i, u in enumerate(trap_urls)],
+        "url string, page_num int, card_idx int")
+    store = SnapshotStore(str(tmp_path / "fx"))
+    store.commit(fr.enqueue(cand, 0, LOGICAL_T0), "frontier", 0)
+    # a corpus with no seed cards: nothing new can ever be discovered
+    barren = spark.createDataFrame(
+        [("https://elsewhere.org/x", bytearray(b"<html></html>"))],
+        "url string, html binary")
+    cat = crawl(spark, barren, seed_search_url(), store,
+                wave_seconds=3600, max_waves=10, n_shards=4, trap_guard=True)
+    assert cat is None or cat.count() == 0  # nothing ever admitted
+    assert store.latest_wave("frontier") <= 2  # broke at the fixpoint
+    pend = store.read(spark, "frontier").filter(F.col("status") == "pending")
+    assert pend.count() == 5  # contained rows stay pending (re-admittable)

@@ -412,6 +412,66 @@ def main() -> int:
              for cols in exch11)),
     ])
 
+    # ---- snapshot store merge-on-read compose (delta chain) ---------------
+    # The O(total) base must never feed the newest-wins window (which is
+    # delta-sized) and must rejoin only via a broadcastable key-only
+    # anti-join — the invariants that make per-wave reads O(wave)-shuffled.
+    from s_crawler_spark.sources.store import SnapshotStore
+    st = SnapshotStore(tempfile.mkdtemp(prefix="audit_store_"))
+    fr_aud = pages.select(F.xxhash64("url").alias("url_hash"), "url",
+                          F.lit("pending").alias("status"))
+    st.commit(fr_aud, "frontier", 0)
+    st.commit_delta(fr_aud.limit(20).withColumn("status", F.lit("done")),
+                    "frontier", 1, key=["url_hash"])
+    st.commit_delta(fr_aud.limit(5).withColumn("status", F.lit("failed")),
+                    "frontier", 2, key=["url_hash"])
+    p18 = plan_of(st.read(spark, "frontier"))
+    win18 = [re.search(r"Input \[\d+\]: \[([^\]]*)\]", b).group(1)
+             for b in re.split(r"\n\n", p18)
+             if re.match(r"\(\d+\) Window",
+                         (b.splitlines()[0] if b.strip() else "").strip())
+             and re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)]
+    all_ok &= audit("SnapshotStore.read (merge-on-read compose)", p18, [
+        ("every newest-wins Window input carries __ord — the window runs "
+         "over the delta union only, never the O(total) base",
+         bool(win18) and all("__ord" in cols for cols in win18)),
+        ("base rejoins via broadcast anti-join on the key set (no "
+         "sort-merge of the base)",
+         "BroadcastHashJoin" in p18 and "SortMergeJoin" not in p18),
+    ])
+
+    # ---- incremental seen-shard maintenance (update_shards) ---------------
+    seen_aud = urls.select("url_hash")
+    shards_aud = sn.build_shards(
+        seen_aud.filter(F.xxhash64("url_hash") % 3 == 0), 8, headroom=2.0)
+    newk_aud = seen_aud.filter(F.xxhash64("url_hash") % 3 == 1)
+    # the operator lazily localCheckpoints its cogroup stage (two consumers);
+    # a checkpoint truncates the visible plan, so neutralize it HERE ONLY to
+    # audit the full lineage including the cogroup's exchanges
+    from pyspark.sql.classic.dataframe import DataFrame as _DF  # concrete cls
+    _orig_lc = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self
+    try:
+        p19 = plan_of(sn.update_shards(shards_aud, newk_aud, seen_aud, 8))
+    finally:
+        _DF.localCheckpoint = _orig_lc
+    bits19_ok = True
+    exch19 = exchange_inputs(p19)
+    for s in exch19:
+        cols = {c.split("#")[0].strip() for c in s.split(",")}
+        if "bits" in cols and not cols <= {"shard_id", "kind", "bits",
+                                           "n_items"}:
+            bits19_ok = False
+    all_ok &= audit("update_shards (incremental, touched shards only)", p19, [
+        ("blob rows never exchanged alongside key rows (cogroup discipline, "
+         "same rule as probe_shards)", bool(exch19) and bits19_ok),
+        ("touched-shard prune and rebuild prune are broadcast semi-joins "
+         "(blob table and seen scan stream past a tiny id set)",
+         "BroadcastHashJoin" in p19 and "SortMergeJoin" not in p19),
+        ("fold is a cogroup, not a row join",
+         "FlatMapCoGroupsInPandas" in p19),
+    ])
+
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
     return 0 if all_ok else 1
 
