@@ -131,6 +131,42 @@ def main() -> None:
     bench("trap_features", lambda: _noop_write(
         ct.q_trap_features(spark, SF_DIR)))
 
+    # ---- multi-wave loop end-to-end (includes state-commit I/O) ----------
+    # plain vs production-defaults composition: AIMD adaptive delays +
+    # spider-trap guard + snapshot expiry + PageRank-primed admission
+    # priorities, all in ONE loop — the control loops are benched solo
+    # above; composition is where extra per-wave scans could stack.
+    import tempfile as _tmp
+
+    from s_crawler_spark.operators import extract as ex
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    def _loop(**kw):
+        store = SnapshotStore(_tmp.mkdtemp(prefix="bench_loop_"))
+        wv.crawl(spark, pages, seed_search_url(), store,
+                 wave_seconds=1000, max_waves=12, n_shards=8, **kw)
+
+    def _rank_priorities():
+        # a real link graph from the corpus itself: search page → card URL
+        cards = ex.explode_cards(wv.search_pages(pages, seed_search_url()))
+        edges = cards.select(
+            F.concat(F.lit("page:"), F.col("page_num").cast("string"))
+            .alias("src"),
+            F.col("url").alias("dst"))
+        return (lg.pagerank(edges, n_iter=3)
+                .select("url",
+                        (-F.floor(F.col("rank") / 1024)).cast("int")
+                        .alias("priority"))
+                .localCheckpoint(eager=False))
+
+    bench("multiwave_loop", lambda: _loop(), warm=lambda: None)
+    if only is None or "multiwave_composed" in only:
+        prio = _rank_priorities()
+        bench("multiwave_composed",
+              lambda: _loop(adaptive_delay=True, trap_guard=True,
+                            expire_keep=2, priority_df=prio),
+              warm=lambda: None)
+
     def _queries_df():
         return emb.filter(F.col("vec_id") < 32).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
