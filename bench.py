@@ -82,12 +82,12 @@ def main() -> None:
     only = os.environ.get("BENCH_QUERIES")
     only = set(only.split(",")) if only else None
 
-    def bench(name, fn, warm=None):
+    def bench(name, fn, warm=None, repeat=None):
         if only and name not in only:
             return
         (warm or fn)()  # warmup: JIT/codegen + python-worker pool + AQE paths
         best = None
-        for _ in range(REPEAT):
+        for _ in range(repeat if repeat is not None else REPEAT):
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -95,10 +95,15 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # ---- headline: one full crawl wave over the materialized corpus ----
+    # best-of-3 for the headline denominator: this box has ±30-70% co-tenant
+    # epoch noise, and the driver records ONE bench run — a single timed
+    # sample would make the headline rate a coin flip (r03→r04 drafts swung
+    # 3.95↔4.78 s on an unchanged plan).
     bench("crawl_wave",
           lambda: _noop_write(wv.run_wave(pages, seed_search_url())),
           warm=lambda: _noop_write(
-              wv.run_wave(pages.sample(0.03, seed=1), seed_search_url())))
+              wv.run_wave(pages.sample(0.03, seed=1), seed_search_url())),
+          repeat=max(REPEAT, 3))
 
     # ---- training-pipeline operator suite -------------------------------
     bench("dedup_exact", lambda: _noop_write(td.exact_dedup(docs)))

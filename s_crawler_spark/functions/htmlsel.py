@@ -185,6 +185,7 @@ _RAWTEXT_CLOSE = {
 }
 
 from html import unescape as _unescape
+from sys import intern as _intern
 
 
 def _parse_attrs_uncached(s):
@@ -224,6 +225,15 @@ def _parse_attrs_uncached(s):
 # object per distinct attrs string, reads are plain dict reads).
 _ATTRS_CACHE: dict = {}
 _ATTRS_CACHE_MAX = 100_000
+
+# str.lower() allocates a NEW string even when the input is already
+# lowercase (CPython never returns self), so every start/end tag costs one
+# short-string allocation. Real markup draws from a tiny tag vocabulary:
+# memoize rawtag -> interned lowercase once, and every element with the
+# same tag shares ONE string object — which also turns the end-tag
+# `stack[i].tag == tag` scans into pointer-identity fast paths.
+_TAG_CACHE: dict = {}
+_TAG_CACHE_MAX = 10_000
 
 
 def _parse_attrs(s):
@@ -278,10 +288,15 @@ def parse_html(html):
     # mutated, so the bound methods stay valid across del stack[i:] etc.)
     start_match = _START_TAG_RE.match
     end_match = _END_TAG_RE.match
-    tag_sd = tag_idx.setdefault
-    class_sd = class_idx.setdefault
-    id_sd = id_idx.setdefault
+    # get-then-branch instead of setdefault(tag, []): setdefault allocates
+    # a throwaway empty list on EVERY call (once per element plus per class
+    # occurrence) — pure allocator pressure on the memory-bandwidth-bound
+    # path; get() allocates only on first occurrence of a key.
+    tag_get = tag_idx.get
+    class_get = class_idx.get
+    id_get = id_idx.get
     attrs_cache_get = _ATTRS_CACHE.get
+    tag_cache = _TAG_CACHE
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -308,8 +323,12 @@ def parse_html(html):
                 pos = lt + 1
                 continue
             pos = m.end()
-            tag, rawattrs = m.group(1, 2)
-            tag = tag.lower()
+            rawtag, rawattrs = m.group(1, 2)
+            tag = tag_cache.get(rawtag)
+            if tag is None:
+                if len(tag_cache) >= _TAG_CACHE_MAX:  # adversarial markup
+                    tag_cache.clear()                 # can mint tags freely
+                tag = tag_cache[rawtag] = _intern(rawtag.lower())
             # inlined _parse_attrs cache hit (2M calls/corpus-slice: the
             # function-call overhead alone is measurable; miss path stays
             # in the function)
@@ -325,11 +344,23 @@ def parse_html(html):
                 parent.children.append(el)
             counter += 1
             el._ord = counter
-            tag_sd(tag, []).append(el)
+            lst = tag_get(tag)
+            if lst is None:
+                tag_idx[tag] = [el]
+            else:
+                lst.append(el)
             for cl in classes:
-                class_sd(cl, []).append(el)
+                lst = class_get(cl)
+                if lst is None:
+                    class_idx[cl] = [el]
+                else:
+                    lst.append(el)
             if idval is not None:
-                id_sd(idval, []).append(el)
+                lst = id_get(idval)
+                if lst is None:
+                    id_idx[idval] = [el]
+                else:
+                    lst.append(el)
             if selfclose or tag in _VOID_TAGS:
                 el._ord_end = counter  # leaf: subtree is itself
                 continue
@@ -351,7 +382,12 @@ def parse_html(html):
                 pos = lt + 1
                 continue
             pos = m.end()
-            tag = m.group(1).lower()
+            rawtag = m.group(1)
+            tag = tag_cache.get(rawtag)
+            if tag is None:
+                if len(tag_cache) >= _TAG_CACHE_MAX:
+                    tag_cache.clear()
+                tag = tag_cache[rawtag] = _intern(rawtag.lower())
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     for closed in stack[i:]:

@@ -71,3 +71,42 @@ def test_trap_guard_noop_on_clean_corpus(spark, pages, pages_dict, tmp_path):
     cat = crawl(spark, pages, seed_search_url(), store, wave_seconds=3600,
                 max_waves=10, n_shards=4, trap_guard=True)
     assert_parity(cat.collect(), sim)
+
+
+def test_trap_guard_fixpoint_break(spark, tmp_path):
+    """A frontier whose every pending host is trap-contained reaches a
+    no-progress fixpoint (empty wave delta, no future next_eligible) and the
+    crawl loop must STOP there — not burn max_waves empty barriers, each
+    committing state (plans/wave.py fixpoint break; ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from s_crawler_spark import corpus as cp
+    from s_crawler_spark.operators import frontier as fr
+    from s_crawler_spark.plans.wave import crawl
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    # every discovered card URL sits on one host with trap-shaped paths
+    # (8 segments > DEPTH_THRESHOLD=6, 7x repeated segment)
+    trap_urls = [f"https://trap.example/{'loop/' * 7}d{i}" for i in range(4)]
+    docs = [dict(doc_id=i, detail_href=u, title=f"Trap doc {i}",
+                 journal="J. Traps", has_journal_span=True,
+                 date_text="01 Jan 2020", authors=["A B"])
+            for i, u in enumerate(trap_urls)]
+    seed_html = cp.render_search_page(
+        1, [cp.render_card(d) for d in docs], has_next=False)
+    pages = spark.createDataFrame(
+        [(cp.seed_search_url(), bytearray(seed_html.encode()))],
+        "url string, html binary")
+
+    store = SnapshotStore(str(tmp_path / "fx"))
+    crawl(spark, pages, cp.seed_search_url(), store,
+          wave_seconds=3600, max_waves=8, n_shards=2, trap_guard=True)
+
+    waves = sorted(r["wave"] for r in store.read(spark, "phase_log")
+                   .select("wave").distinct().collect())
+    # wave 0: seed admitted+fetched; wave 1: cards enqueued (delta!) but
+    # withheld; wave 2: no delta, nothing future-eligible -> break
+    assert waves[-1] <= 2 and len(waves) <= 3, waves
+    pending = store.read(spark, "frontier") \
+        .filter(F.col("status") == fr.STATUS_PENDING)
+    assert pending.count() == 4  # rows stay pending => re-admittable later
