@@ -187,6 +187,29 @@ ARTICLE_COLS = ["seq", "title", "url", "doi", "journal", "publication_date",
                 "download_link", "downloaded", "content_md5"]
 
 
+def hydrate_batch(batch: DataFrame, candidates: DataFrame) -> DataFrame:
+    """J2 re-hydration in O(wave): decorate the admitted batch with its
+    stored card metadata (the reference re-reads article rows from the DB
+    before download, pdf_downloader.py:34-46).
+
+    ``candidates`` is the O(total) store table; the batch keys prune it
+    with a broadcast left-semi join FIRST, so candidates are *scanned*
+    (key filter only), never hash-partitioned — then the wave-sized
+    survivor set dedups and broadcast-joins back onto the batch. Joining
+    ``candidates.dropDuplicates([...])`` directly would hash-shuffle the
+    whole table every wave: dropDuplicates is an aggregation barrier
+    Catalyst cannot push the batch join through (explain_audit pins this
+    plan: no SortMergeJoin, one wave-sized Exchange).
+
+    ``batch`` must be safe to reference twice (the crawl loop lazily
+    localCheckpoints it — it feeds both the key set and the join left
+    side)."""
+    hydr = (candidates
+            .join(F.broadcast(batch.select("url")), on="url", how="left_semi")
+            .dropDuplicates(["url"]))
+    return batch.select("url", "seq").join(F.broadcast(hydr), on="url", how="left")
+
+
 def run_wave(pages: DataFrame, seed_url: str,
              max_count: int | None = None,
              catalog: DataFrame | None = None,
@@ -241,6 +264,16 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     all-full legacy behavior. At a 10^10-row frontier with 10^6-row waves
     this removes ~10,000× per-wave write amplification.
 
+    The per-wave *reads* are O(wave)-shaped too: candidate re-hydration
+    prunes the O(total) candidates table with a broadcast semi-join on the
+    wave's batch keys before any shuffle (candidates are scanned, never
+    hash-partitioned), and the fetch_log status metrics + loop-termination
+    counts are maintained incrementally from the wave delta (one seed scan
+    per process, then pure O(wave) arithmetic). The only remaining
+    full-table operation per wave is the eligible-pending admission scan —
+    inherent to frontier dequeue, shuffle-free, and partition-prunable by
+    status/next_eligible on an Iceberg deployment.
+
     ``priority_df`` (url, priority) primes enqueue priorities — e.g.
     linkgraph PageRank via ``priority_from_rank``'s mapping; rows absent
     from it keep the default 0. compose_wave admits by ascending
@@ -266,6 +299,10 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     """
     start_wave = 0
     frontier_df = catalog = seen_df = cand_store = policy_df = None
+    # per-status frontier row counts, maintained incrementally (O(wave)
+    # arithmetic per wave, seeded by ONE scan on the first wave of this
+    # process — see the fetch_log commit below). Keyed by status string.
+    status_counts: dict[str, int] | None = None
     if resume and store.latest_wave("frontier") is not None:
         start_wave = store.latest_wave("frontier") + 1
         frontier_df = store.read(spark, "frontier")
@@ -368,10 +405,12 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         batch = po.compose_wave(pending, policy, wave_seconds)
         if salt_buckets:
             batch = fr.salt_partitions(batch, salt_buckets)
+        # two consumers below (hydration key set + join left side): lazy
+        # checkpoint stops the two-window admission plan re-executing
+        batch = batch.localCheckpoint(eager=False)
 
-        # --- fetch + parse (re-hydrate card metadata, J2) ---
-        batch_meta = batch.select("url", "seq").join(
-            cand_all.dropDuplicates(["url"]), on="url", how="left")
+        # --- fetch + parse (re-hydrate card metadata, J2, O(wave)) ---
+        batch_meta = hydrate_batch(batch, cand_all)
         # fetch_parse returns a lazily-checkpointed frame (never .cache():
         # cache is logical-plan-keyed and aliases across invocations)
         fetched, lineage = fetch_parse(pages, batch_meta, return_lineage=True)
@@ -455,8 +494,36 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         seen_df = store.read(spark, "seen")
         cand_store = store.read(spark, "candidates")
 
-        metrics = frontier_df.groupBy("status").count() \
-            .withColumn("wave", F.lit(wave))
+        # --- per-wave status metrics, O(wave): counts(w) = counts(w-1)
+        # + this delta's per-status rows − the prior rows it re-states.
+        # Every prior row in the delta was PENDING when the wave started
+        # (batch ⊆ eligible_pending and new enqueues carry wave == w, so
+        # `wave < w` identifies the prior rows), which makes the update
+        # exact: a retried row nets 0, a transition moves 1, an enqueue
+        # adds 1. Seeded ONCE per process from the frontier (and re-seeded
+        # on resume from the actual state, so a crash between the frontier
+        # and fetch_log commits can never leave drift). Replaces a full
+        # frontier groupBy scan per wave — the same O(total)→O(wave) move
+        # as the delta commits. The ≤4-row collect is a bounded dimension.
+        if status_counts is None:
+            seed_df = (None if start_wave == 0 else
+                       store.read(spark, "frontier", as_of_wave=wave - 1))
+            status_counts = {} if seed_df is None else {
+                r["status"]: r["count"]
+                for r in seed_df.groupBy("status").count().collect()}
+        delta_agg = frontier_delta.groupBy("status").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("wave") < wave, 1).otherwise(0))
+            .alias("n_prior")).collect()
+        n_prior_changed = sum(r["n_prior"] for r in delta_agg)
+        if n_prior_changed:
+            status_counts[fr.STATUS_PENDING] = (
+                status_counts.get(fr.STATUS_PENDING, 0) - n_prior_changed)
+        for r in delta_agg:
+            status_counts[r["status"]] = status_counts.get(r["status"], 0) + r["n"]
+        metrics = spark.createDataFrame(
+            [(s, n, wave) for s, n in sorted(status_counts.items()) if n != 0],
+            "status string, count long, wave int")
         commit_timed(metrics, "fetch_log")
         # A3 / north rule: per-partition lineage + fetch/parse metrics are
         # wave state too — committed so a resumed run keeps the full ledger
@@ -485,7 +552,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                       "seen_shards", "host_policy"):
                 store.expire_snapshots(t, keep=expire_keep)
 
-        n_pending = frontier_df.filter(F.col("status") == fr.STATUS_PENDING).count()
+        n_pending = status_counts.get(fr.STATUS_PENDING, 0)
         if n_pending == 0:
             break
         if frontier_delta.limit(1).count() == 0:

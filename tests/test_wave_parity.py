@@ -345,3 +345,31 @@ def test_trap_guard_fixpoint_break(spark, tmp_path):
     assert store.latest_wave("frontier") <= 2  # broke at the fixpoint
     pend = store.read(spark, "frontier").filter(F.col("status") == "pending")
     assert pend.count() == 5  # contained rows stay pending (re-admittable)
+
+
+def test_fetch_log_incremental_counts_exact(spark, pages, pages_dict, tmp_path):
+    """fetch_log status metrics are maintained incrementally (O(wave)
+    arithmetic per wave, no full-frontier groupBy scan) — every committed
+    wave's rows must equal a from-scratch recount of the frontier as of
+    that wave, including across a crash/resume (the counter re-seeds from
+    the committed state, so a crash between the frontier and fetch_log
+    commits can never leave drift)."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "fl"))
+    # crash after 2 waves, then resume — the resume leg exercises the
+    # seed-from-state path, the first leg the from-zero path
+    crawl(spark, pages, seed_search_url(), store,
+          wave_seconds=100, max_waves=2, n_shards=4)
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards=4)
+    assert_parity(cat.collect(), sim)
+    snaps = store.snapshots("fetch_log")
+    assert len(snaps) >= 3
+    for s in snaps:
+        w = s["wave"]
+        got = {(r["status"], r["count"]) for r in
+               store.read_snapshot_raw(spark, "fetch_log", w).collect()}
+        exp = {(r["status"], r["count"]) for r in
+               store.read(spark, "frontier", as_of_wave=w)
+               .groupBy("status").count().collect()}
+        assert got == exp, (w, got, exp)

@@ -238,6 +238,32 @@ def main() -> int:
         ("no global sort in admission", "rangepartitioning" not in p7.lower()),
     ])
 
+    # ---- J2 batch hydration: O(wave), candidates never shuffle ------------
+    # batch stand-in: a narrow (url, seq) frame with no exchanges of its
+    # own, so every Exchange in the plan belongs to hydrate_batch itself
+    batch_audit = pages.select(
+        "url", F.xxhash64("url").alias("seq"))
+    cand_meta = cand2.select("url", "title", "doi", "journal",
+                             "publication_date", "authors")
+    p_hyd = plan_of(wv.hydrate_batch(batch_audit, cand_meta))
+    # tree section only (node order = parent-before-child); shuffle
+    # Exchanges print as "+- Exchange (n)", broadcasts as BroadcastExchange
+    hyd_tree = p_hyd.split("\n\n")[0].splitlines()
+    shuf_idx = [i for i, l in enumerate(hyd_tree)
+                if re.search(r"[+:]- Exchange \(\d+\)", l)
+                or re.match(r"Exchange \(\d+\)", l.strip())]
+    semi_idx = [i for i, l in enumerate(hyd_tree) if "LeftSemi" in l]
+    all_ok &= audit("hydrate_batch (J2, O(wave))", p_hyd, [
+        ("candidates pruned by a broadcast LEFT-SEMI on the batch keys "
+         "(scan-side filter, no candidates-sized shuffle join)",
+         len(semi_idx) == 1 and "SortMergeJoin" not in p_hyd),
+        ("both joins broadcast (semi prune + metadata join-back)",
+         sum("BroadcastHashJoin" in l for l in hyd_tree) >= 2),
+        ("exactly one shuffle, the wave-sized dedup — ABOVE the semi prune "
+         "(its input is the pruned set, never the candidates table)",
+         len(shuf_idx) == 1 and semi_idx and shuf_idx[0] < semi_idx[0]),
+    ])
+
     # ---- near-dup cluster round: id-only star contraction ----------------
     pairs_audit = td.minhash_lsh_pairs(docs_audit, threshold=0.7)
     round_df = td._small_star(td._large_star(
