@@ -33,10 +33,38 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str) -> DataFram
     src/link_collector.py:51-52). Equi-left_anti already keeps NULL keys.
 
     Scale note: when ``seen`` is a per-wave increment it is usually small →
-    Spark broadcasts it; the 10^10-key catalog case goes through
-    operators/seen.py (Bloom prefilter + exact backstop) instead.
+    Spark broadcasts it; when ``seen`` is an O(total) state table use
+    :func:`pruned_anti_join` (broadcast semi-prune — the big side is
+    scanned, never shuffled); the 10^10-key url case goes through
+    operators/seen.py (Bloom prefilter + exact backstop).
     """
     return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")
+
+
+def pruned_anti_join(candidates: DataFrame, seen: DataFrame,
+                     key: str, prune_keys: DataFrame | None = None) -> DataFrame:
+    """``candidates ∖ seen`` on ``key`` when ``seen`` is O(total) and
+    ``candidates`` are wave-sized — same result as ``anti_join_seen``
+    (NULL-keyed candidates kept: NULL never equi-matches), different plan:
+    ``seen`` is pruned to the candidate key set by a BROADCAST left-semi
+    first (the O(total) side is *scanned*, never hash-partitioned or
+    broadcast), and the wave-bounded hit set broadcasts back into the
+    anti-join. A plain ``left_anti`` against a beyond-broadcast ``seen``
+    sort-merge-shuffles the whole table every wave.
+
+    ``candidates`` is referenced twice (key set + anti-join left); callers
+    pass a checkpointed or cheap-to-recompute frame — or supply
+    ``prune_keys``, any cheap SUPERSET of the candidates' key values
+    (extra keys only enlarge the broadcast; they can never drop a row the
+    plain anti-join would keep, since a hit must still equi-match a
+    candidate).
+    """
+    if prune_keys is None:
+        prune_keys = candidates.select(key)
+    wave_keys = prune_keys.select(key).where(F.col(key).isNotNull())
+    hits = (seen.select(key).where(F.col(key).isNotNull())
+            .join(F.broadcast(wave_keys), on=key, how="left_semi"))
+    return candidates.join(F.broadcast(hits), on=key, how="left_anti")
 
 
 def tiered_insert_dedup(df: DataFrame, seq_col: str = "seq",
@@ -88,9 +116,16 @@ def tiered_insert_dedup(df: DataFrame, seq_col: str = "seq",
         "__key", seq_col).drop("__key").localCheckpoint(eager=False)
 
     # --- tier 1 ---
+    # catalog blockers use pruned_anti_join: the catalog is O(total) and
+    # grows every wave — a plain anti-join would re-shuffle its full
+    # doi/md5/title key columns each wave. prune_keys comes from the
+    # checkpointed `firsts` (a superset of each tier's keys), so the
+    # anti-join left is referenced once and the big side only scans.
     t1 = firsts.filter(F.col("__tier") == 1)
     if catalog is not None:
-        t1 = anti_join_seen(t1, catalog.filter(F.col(doi_col).isNotNull()), doi_col)
+        t1 = pruned_anti_join(
+            t1, catalog.filter(F.col(doi_col).isNotNull()), doi_col,
+            prune_keys=firsts.filter(F.col("__tier") == 1).select(doi_col))
 
     # --- tier 2 ---
     t1_md5 = t1.filter(F.col(md5_col).isNotNull()).groupBy(md5_col).agg(
@@ -101,7 +136,9 @@ def tiered_insert_dedup(df: DataFrame, seq_col: str = "seq",
                   | (F.col("__t1_min_seq") > F.col(seq_col)))
           .drop("__t1_min_seq"))
     if catalog is not None:
-        t2 = anti_join_seen(t2, catalog.filter(F.col(md5_col).isNotNull()), md5_col)
+        t2 = pruned_anti_join(
+            t2, catalog.filter(F.col(md5_col).isNotNull()), md5_col,
+            prune_keys=firsts.filter(F.col("__tier") == 2).select(md5_col))
 
     # --- tier 3 ---
     t12_titles = (t1.select(title_col, seq_col)
@@ -114,7 +151,9 @@ def tiered_insert_dedup(df: DataFrame, seq_col: str = "seq",
                   | (F.col("__t12_min_seq") > F.col(seq_col)))
           .drop("__t12_min_seq"))
     if catalog is not None:
-        t3 = anti_join_seen(t3, catalog.filter(F.col(title_col).isNotNull()), title_col)
+        t3 = pruned_anti_join(
+            t3, catalog.filter(F.col(title_col).isNotNull()), title_col,
+            prune_keys=firsts.filter(F.col("__tier") == 3).select(title_col))
 
     # rows with no doi, no md5, no title are always inserted (no check applies)
     rest = firsts.filter(F.col("__tier") == 4)

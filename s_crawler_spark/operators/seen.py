@@ -374,8 +374,17 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
     """
     if shards is None:
         return candidates.join(seen.select(key_col), on=key_col, how="left_anti")
-    probed = probe_shards(candidates, shards, key_col=key_col)
+    from .dedup import pruned_anti_join
+    # lazy checkpoint: the cogroup probe has three consumers (the fresh
+    # branch, the suspect branch, and the backstop's prune key set) — it
+    # must execute once per wave, not once per consumer
+    probed = probe_shards(candidates, shards, key_col=key_col) \
+        .localCheckpoint(eager=False)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    survivors = suspect.join(seen.select(key_col), on=key_col, how="left_anti")
+    # exact backstop over the (tiny: true-hits + fp-rate × wave) suspect
+    # set. pruned_anti_join scans the O(total) seen table against a
+    # broadcast of the suspect keys — a plain left_anti would sort-merge-
+    # shuffle all 10^10 seen keys every wave
+    survivors = pruned_anti_join(suspect, seen, key_col)
     return fresh.unionByName(survivors)

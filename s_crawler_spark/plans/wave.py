@@ -71,7 +71,13 @@ def collect_candidates(pages: DataFrame, seed_url: str,
     cards = cards.withColumn(
         "seq", fr.composite_seq(F.lit(wave), F.col("page_num"), F.col("card_idx")))
     if catalog is not None:
-        cards = dd.anti_join_seen(cards, catalog.filter(F.col("doi").isNotNull()), "doi")
+        # catalog is O(total): prune it to this wave's card DOIs with a
+        # broadcast semi-join (catalog scanned, never shuffled). The
+        # extraction output is checkpointed first — the pruned anti-join
+        # references it twice (key set + left side)
+        cards = cards.localCheckpoint(eager=False)
+        cards = dd.pruned_anti_join(
+            cards, catalog.filter(F.col("doi").isNotNull()), "doi")
     if max_count is not None:
         # top-k in crawl order (T1): TakeOrdered, not a global sort
         cards = cards.orderBy("seq").limit(max_count)
@@ -345,9 +351,13 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             fresh = sn.dedup_against_seen(cand, seen_df, shards_df, key_col="url_hash")
         else:
             fresh = cand
-        # already-enqueued (still pending) URLs must not re-enqueue either
+        # already-enqueued (still pending) URLs must not re-enqueue either.
+        # cand_store is O(total): broadcast semi-prune (scan, no shuffle);
+        # fresh is checkpointed first — it feeds the prune key set, the
+        # first-occurrence window and the metadata projection
+        fresh = fresh.localCheckpoint(eager=False)
         if cand_store is not None:
-            fresh = fresh.join(cand_store.select("url"), on="url", how="left_anti")
+            fresh = dd.pruned_anti_join(fresh, cand_store, "url")
         # within-run duplicate cards enqueue once per URL (the frontier is
         # URL-keyed; the *insert-time* tiered dedup below is doi/md5/title-keyed)
         fresh = dd.first_occurrence(fresh, "url_hash", "seq")

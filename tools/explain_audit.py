@@ -264,6 +264,39 @@ def main() -> int:
          len(shuf_idx) == 1 and semi_idx and shuf_idx[0] < semi_idx[0]),
     ])
 
+    # ---- exact-membership backstops: O(total) side scans, never shuffles --
+    def tree_lines(plan: str) -> list[str]:
+        return plan.split("\n\n")[0].splitlines()
+
+    def anti_joins_broadcast(plan: str) -> bool:
+        lines = [l for l in tree_lines(plan) if "LeftAnti" in l]
+        return bool(lines) and all("BroadcastHashJoin" in l for l in lines)
+
+    seen_fixture = urls.filter(F.col("doc_id") < 100).select("url_hash")
+    p_seen = plan_of(sn.dedup_against_seen(urls, seen_fixture, shards,
+                                           key_col="url_hash"))
+    all_ok &= audit("dedup_against_seen (pruned exact backstop)", p_seen, [
+        ("seen table pruned by a broadcast LEFT-SEMI on the suspect keys "
+         "(scan-side filter — 10^10 seen keys never hash-partitioned)",
+         any("LeftSemi" in l for l in tree_lines(p_seen))
+         and "SortMergeJoin" not in p_seen),
+        ("the exact anti-join builds on the wave-bounded hit set "
+         "(BroadcastHashJoin LeftAnti)", anti_joins_broadcast(p_seen)),
+    ])
+
+    art_fixture = cand2.select("seq", "doi", "title",
+                               F.md5(F.col("title")).alias("content_md5"))
+    p_tier = plan_of(ddp.tiered_insert_dedup(art_fixture,
+                                             catalog=art_fixture.limit(50)))
+    n_semi = sum("LeftSemi" in l for l in tree_lines(p_tier))
+    all_ok &= audit("tiered_insert_dedup (pruned catalog blockers)", p_tier, [
+        ("all three catalog block-sets (doi/md5/title) are broadcast "
+         "semi-prunes — the growing catalog's keys never re-shuffle",
+         n_semi >= 3),
+        ("every catalog anti-join is a BroadcastHashJoin on the "
+         "wave-bounded hit set", anti_joins_broadcast(p_tier)),
+    ])
+
     # ---- near-dup cluster round: id-only star contraction ----------------
     pairs_audit = td.minhash_lsh_pairs(docs_audit, threshold=0.7)
     round_df = td._small_star(td._large_star(
