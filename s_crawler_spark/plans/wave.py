@@ -460,18 +460,24 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # fetch+extract+bookkeeping wall, articles the tiered dedup, etc.
         phase_ms: list[tuple[int, str, int]] = []
 
-        def commit_timed(df, name, mode="full", key=None):
+        def commit_timed(df, name, mode="full", key=None, partition_by=None):
             t0 = time.perf_counter()
-            store.commit(df, name, wave, mode=mode, key=key)
+            store.commit(df, name, wave, mode=mode, key=key,
+                         partition_by=partition_by)
             phase_ms.append((wave, name, int((time.perf_counter() - t0) * 1000)))
 
         seen_all = (seen_delta if seen_df is None
                     else seen_df.unionByName(seen_delta))
         if is_full:
             # compaction: materialize full state (= what merge-on-read
-            # would compose) so the next delta chain starts from a fresh base
+            # would compose) so the next delta chain starts from a fresh
+            # base. The frontier base partitions by status (⇔ Iceberg
+            # PARTITIONED BY): at a mostly-done 10^10-row frontier the
+            # eligible-pending admission scan then reads ONLY the pending
+            # files — the last full-table read per wave becomes
+            # partition-pruned (audit-pinned PartitionFilters)
             commit_timed(fr.record_results(frontier_all, results, logical_now),
-                         "frontier")
+                         "frontier", partition_by=["status"])
             commit_timed(new_articles if catalog is None
                          else catalog.unionByName(new_articles), "articles")
             commit_timed(seen_all, "seen")

@@ -85,7 +85,8 @@ class SnapshotStore:
     def commit(self, df: DataFrame, table: str, wave: int,
                meta: dict | None = None,
                mode: str = "full",
-               key: list[str] | None = None) -> int:
+               key: list[str] | None = None,
+               partition_by: list[str] | None = None) -> int:
         """Write df as the table's next snapshot; returns snapshot id.
         Re-committing the same wave overwrites its snapshot (idempotent
         re-run of a failed wave).
@@ -95,6 +96,14 @@ class SnapshotStore:
         ``key=None`` appends them on read; ``key=[cols]`` upserts them
         (a delta row replaces any earlier row with the same key; within one
         delta, keys are expected unique). O(wave) write, merge-on-read.
+
+        ``partition_by`` hive-partitions the snapshot files (⇔ Iceberg
+        ``PARTITIONED BY``): a reader filtering on those columns prunes
+        whole files at the source — e.g. the frontier's full snapshots
+        partition by ``status`` so the per-wave eligible-pending admission
+        scan never reads done/failed rows. Low-cardinality columns only
+        (a partition per value); deltas are wave-sized and stay
+        unpartitioned.
         """
         if mode not in ("full", "delta"):
             raise ValueError(f"mode must be 'full' or 'delta', got {mode!r}")
@@ -110,11 +119,16 @@ class SnapshotStore:
         snap_id = (existing[0]["id"] if existing else
                    max((s["id"] for s in manifest["snapshots"]), default=-1) + 1)
         path = os.path.join(tdir, f"snap-{snap_id}")
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         entry = {"id": snap_id, "wave": wave, "path": path, "mode": mode,
                  "meta": meta or {}}
         if key is not None:
             entry["key"] = list(key)
+        if partition_by:
+            entry["partition_by"] = list(partition_by)
         manifest["snapshots"] = [s for s in manifest["snapshots"] if s["wave"] != wave]
         manifest["snapshots"].append(entry)
         manifest["snapshots"].sort(key=lambda s: s["id"])

@@ -135,3 +135,31 @@ def test_mode_key_validation(spark, tmp_path):
         st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", 0, mode="merge")
     with pytest.raises(ValueError):
         st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", 0, key=["k"])
+
+
+def test_partitioned_full_commit_composes_and_prunes(spark, tmp_path):
+    """partition_by hive-partitions a full snapshot (Iceberg PARTITIONED BY
+    analogue): the composed read is value-identical to the unpartitioned
+    form, keyed deltas still win, and a filter on the partition column
+    reaches the base scan as a PartitionFilter (file-level pruning for the
+    admission scan)."""
+    st = SnapshotStore(str(tmp_path / "p"))
+    rows = [{"k": i, "v": f"r{i}", "status": "pending" if i % 3 else "done"}
+            for i in range(30)]
+    st.commit(_df(spark, rows), "t", wave=0, partition_by=["status"])
+    st.commit_delta(_df(spark, [{"k": 1, "v": "upd", "status": "done"}]),
+                    "t", wave=1, key=["k"])
+    got = {(r["k"], r["v"], r["status"])
+           for r in st.read(spark, "t").collect()}
+    exp = {(r["k"], "upd" if r["k"] == 1 else r["v"],
+            "done" if r["k"] == 1 else r["status"]) for r in rows}
+    assert got == exp
+    pend = st.read(spark, "t").filter("status = 'pending'")
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pend.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "pending" in plan
+    assert {r["status"] for r in pend.collect()} == {"pending"}

@@ -499,6 +499,22 @@ def main() -> int:
          "BroadcastHashJoin" in p18 and "SortMergeJoin" not in p18),
     ])
 
+    # the frontier's full snapshots partition by status (wave.crawl passes
+    # partition_by=["status"]): the eligible-pending admission filter must
+    # reach the base scan as a PARTITION filter, so done/failed files are
+    # never read at a mostly-done 10^10-row frontier
+    st.commit(fr_aud, "frontier_p", 0, partition_by=["status"])
+    st.commit_delta(fr_aud.limit(20).withColumn("status", F.lit("done")),
+                    "frontier_p", 1, key=["url_hash"])
+    p18b = plan_of(st.read(spark, "frontier_p")
+                   .filter(F.col("status") == "pending"))
+    all_ok &= audit("partitioned frontier base (admission pruning)", p18b, [
+        ("status filter reaches the base scan as a PartitionFilter "
+         "(pending-only file reads for admission)",
+         bool(re.search(r"PartitionFilters: \[[^\]]*status[^\]]*pending",
+                        p18b))),
+    ])
+
     # ---- incremental seen-shard maintenance (update_shards) ---------------
     seen_aud = urls.select("url_hash")
     shards_aud = sn.build_shards(
