@@ -147,9 +147,16 @@ def main() -> None:
     from s_crawler_spark.sources.store import SnapshotStore
 
     def _loop(**kw):
-        store = SnapshotStore(_tmp.mkdtemp(prefix="bench_loop_"))
-        wv.crawl(spark, pages, seed_search_url(), store,
-                 wave_seconds=1000, max_waves=12, n_shards=8, **kw)
+        import shutil
+
+        root = _tmp.mkdtemp(prefix="bench_loop_")
+        try:
+            wv.crawl(spark, pages, seed_search_url(), SnapshotStore(root),
+                     wave_seconds=1000, max_waves=12, n_shards=8, **kw)
+        finally:
+            # repeated bench runs must not strand multi-wave parquet
+            # stores in /tmp (the rmtree is ~ms against a 30-60 s loop)
+            shutil.rmtree(root, ignore_errors=True)
 
     def _rank_priorities():
         # a real link graph from the corpus itself: search page → card URL

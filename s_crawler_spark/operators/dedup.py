@@ -62,8 +62,12 @@ def pruned_anti_join(candidates: DataFrame, seen: DataFrame,
     if prune_keys is None:
         prune_keys = candidates.select(key)
     wave_keys = prune_keys.select(key).where(F.col(key).isNotNull())
+    # distinct: the big side may hold many rows per key (e.g. catalog
+    # titles) — without it one hot key would put every matching row into
+    # the broadcast build side; distinct bounds it by the wave's key count
     hits = (seen.select(key).where(F.col(key).isNotNull())
-            .join(F.broadcast(wave_keys), on=key, how="left_semi"))
+            .join(F.broadcast(wave_keys), on=key, how="left_semi")
+            .distinct())
     return candidates.join(F.broadcast(hits), on=key, how="left_anti")
 
 

@@ -218,9 +218,20 @@ def build_shards(seen: DataFrame, n_shards: int,
     ``headroom`` over-sizes each blob by that factor so subsequent
     incremental ``update_shards`` waves can add keys in place before the
     shard's next amortized rebuild (1.0 = exact sizing, the one-shot path).
+
+    Emits a row for EVERY shard id in [0, n_shards) — key-less shards get
+    a minimal empty blob — so the table always spans its full id range and
+    ``probe_shards``' max(shard_id)+1 inference recovers the build-time
+    shard count exactly. (With empty top shards absent, an inferred
+    smaller modulus would route candidates to the wrong blobs and produce
+    false NEGATIVES that bypass the exact backstop.)
     """
     def make_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        keys = pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        # boolean-masked, NOT a NULL sentinel key: a null in an int64
+        # column makes pandas coerce the WHOLE column to float64, which
+        # silently corrupts 64-bit hashes past 2^53
+        keys = (pdf.loc[pdf["__real"].to_numpy(), key_col]
+                .to_numpy(dtype=np.int64).astype(np.uint64))
         if kind == "cuckoo":
             n_buckets = max(16, int(len(keys) * headroom / (0.84 * _CK_SLOTS)) + 1)
             bits = cuckoo_build(keys, n_buckets)
@@ -231,8 +242,18 @@ def build_shards(seen: DataFrame, n_shards: int,
             "bits": [bits], "n_items": [len(keys)],
         })
 
+    # one marker sentinel per shard id forces every group to exist (masked
+    # out by make_shard before hashing), in the same single pass — no
+    # second job, no anti-join
+    sentinels = (seen.sparkSession.range(n_shards)
+                 .select(F.lit(0).cast("long").alias(key_col),
+                         F.col("id").cast("int").alias("shard_id"),
+                         F.lit(False).alias("__real")))
     return (
-        seen.withColumn("shard_id", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+        seen.select(key_col)
+        .withColumn("shard_id", F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+        .withColumn("__real", F.lit(True))
+        .unionByName(sentinels)
         .groupBy("shard_id")
         .applyInPandas(make_shard, schema=SHARDS_SCHEMA)
     )
@@ -305,14 +326,23 @@ def update_shards(shards: DataFrame, new_keys: DataFrame, seen: DataFrame,
                .applyInPandas(upd, schema=_SHARDS_SCHEMA_NULLABLE)
                .localCheckpoint(eager=False))  # consumers: ok + markers
     ok = updated.filter(F.col("bits").isNotNull())
-    markers = updated.filter(F.col("bits").isNull()).select("shard_id")
-    rebuild_src = (seen.select(key_col)
-                   .withColumn("shard_id",
-                               F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
-                   .join(F.broadcast(markers), on="shard_id", how="left_semi")
-                   .drop("shard_id"))
-    rebuilt = build_shards(rebuild_src, n_shards, bits_per_key=bits_per_key,
-                           kind=kind, key_col=key_col, headroom=headroom)
+    markers = updated.filter(F.col("bits").isNull()).select("shard_id", "kind")
+    # rebuild each marked shard with ITS OWN stored kind (a cuckoo shard
+    # must not silently come back as bloom just because the caller left
+    # `kind` at its default); one branch per kind, each an empty-pruned
+    # scan when no shard of that kind is marked — still lazy, no collect
+    rebuilt = None
+    for mk in ("bloom", "cuckoo"):
+        mk_ids = markers.filter(F.col("kind") == mk).select("shard_id")
+        src = (seen.select(key_col)
+               .withColumn("shard_id",
+                           F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+               .join(F.broadcast(mk_ids), on="shard_id", how="left_semi")
+               .drop("shard_id"))
+        part = build_shards(src, n_shards, bits_per_key=bits_per_key,
+                            kind=mk, key_col=key_col, headroom=headroom) \
+            .join(F.broadcast(mk_ids), on="shard_id", how="left_semi")
+        rebuilt = part if rebuilt is None else rebuilt.unionByName(part)
     return ok.unionByName(rebuilt)
 
 
@@ -364,13 +394,19 @@ def probe_shards(candidates: DataFrame, shards: DataFrame,
 
 def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
                        shards: DataFrame | None = None,
-                       key_col: str = "url_hash") -> DataFrame:
+                       key_col: str = "url_hash",
+                       n_shards: int | None = None) -> DataFrame:
     """J1 at scale: candidates ∖ seen, exactly.
 
     Filter-negatives pass straight through (no shuffle against ``seen``);
     filter-positives go through the exact ``left_anti`` backstop so false
     positives never drop a crawlable URL. Without shards, plain exact
     anti-join (the small-scale / first-wave path).
+
+    Pass ``n_shards`` when the build-time shard count is known (the crawl
+    loop does): it skips probe_shards' max(shard_id) inference job. The
+    inference itself is exact because build_shards emits a row for every
+    shard id, empty shards included.
     """
     if shards is None:
         return candidates.join(seen.select(key_col), on=key_col, how="left_anti")
@@ -378,7 +414,8 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
     # lazy checkpoint: the cogroup probe has three consumers (the fresh
     # branch, the suspect branch, and the backstop's prune key set) — it
     # must execute once per wave, not once per consumer
-    probed = probe_shards(candidates, shards, key_col=key_col) \
+    probed = probe_shards(candidates, shards, key_col=key_col,
+                          n_shards=n_shards) \
         .localCheckpoint(eager=False)
     fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspect = probed.filter(F.col("maybe_seen")).drop("maybe_seen")

@@ -347,8 +347,19 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                                   max_count=max_count, catalog=catalog)
         cand = cand.withColumn("url_hash", scalars.canonical_url_hash(F.col("url")))
         shards_df = store.read(spark, "seen_shards")
+        # the committed shard layout's modulus (None: no table yet, or a
+        # legacy store without layout metadata). The probe MUST use the
+        # layout the blobs were built under — on a resume with a different
+        # n_shards the stored blobs are still exact under their own
+        # modulus, and the commit below rebuilds them once under the new one
+        stored_ns = next(
+            (s["meta"]["n_shards"]
+             for s in reversed(store.snapshots("seen_shards"))
+             if s.get("meta", {}).get("n_shards") is not None), None)
         if seen_df is not None:
-            fresh = sn.dedup_against_seen(cand, seen_df, shards_df, key_col="url_hash")
+            fresh = sn.dedup_against_seen(cand, seen_df, shards_df,
+                                          key_col="url_hash",
+                                          n_shards=stored_ns)
         else:
             fresh = cand
         # already-enqueued (still pending) URLs must not re-enqueue either.
@@ -460,10 +471,11 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # fetch+extract+bookkeeping wall, articles the tiered dedup, etc.
         phase_ms: list[tuple[int, str, int]] = []
 
-        def commit_timed(df, name, mode="full", key=None, partition_by=None):
+        def commit_timed(df, name, mode="full", key=None, partition_by=None,
+                         meta=None):
             t0 = time.perf_counter()
             store.commit(df, name, wave, mode=mode, key=key,
-                         partition_by=partition_by)
+                         partition_by=partition_by, meta=meta)
             phase_ms.append((wave, name, int((time.perf_counter() - t0) * 1000)))
 
         seen_all = (seen_delta if seen_df is None
@@ -484,25 +496,30 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             commit_timed(cand_all, "candidates")
             # headroom so the following delta waves can fold keys in place
             commit_timed(sn.build_shards(seen_all, n_shards, headroom=2.0),
-                         "seen_shards")
+                         "seen_shards", meta={"n_shards": n_shards})
         else:
             commit_timed(frontier_delta, "frontier",
                          mode="delta", key=["url_hash"])
             commit_timed(new_articles, "articles", mode="delta")
             commit_timed(seen_delta, "seen", mode="delta")
             commit_timed(new_meta, "candidates", mode="delta")
-            if shards_df is None:
-                # no shard table yet (externally seeded store): first
-                # build is the base, O(seen) exactly once
+            if shards_df is None or stored_ns != n_shards:
+                # no shard table yet (externally seeded store), a layout
+                # predating the n_shards metadata, or a resume with a
+                # DIFFERENT n_shards: incremental folds would OR keys into
+                # blobs laid out under the old modulus (persistent false
+                # negatives) — rebuild the whole table once under the
+                # current layout, O(seen) exactly once per layout change
                 commit_timed(sn.build_shards(seen_all, n_shards, headroom=2.0),
-                             "seen_shards")
+                             "seen_shards", meta={"n_shards": n_shards})
             else:
                 # fold this wave's new keys into ONLY the shards they touch;
                 # untouched blobs are carried forward by the manifest, unread
                 commit_timed(sn.update_shards(shards_df,
                                               seen_delta.select("url_hash"),
                                               seen_all, n_shards, headroom=2.0),
-                             "seen_shards", mode="delta", key=["shard_id"])
+                             "seen_shards", mode="delta", key=["shard_id"],
+                             meta={"n_shards": n_shards})
 
         # wave barrier: state views now come from the committed snapshots
         frontier_df = store.read(spark, "frontier")

@@ -50,12 +50,30 @@ FRONTIER_STREAM_SCHEMA = T.StructType([
 def stream_discoveries(spark: SparkSession, frontier_dir: str,
                        max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream over committed frontier snapshots (one parquet dir per
-    wave under ``frontier_dir``)."""
+    wave under ``frontier_dir``).
+
+    Full frontier snapshots are hive-partitioned by ``status``
+    (sources/store.py ``partition_by``), so in those files the status
+    lives ONLY in the directory name — and ``recursiveFileLookup`` (needed
+    to span the mixed snap-N layouts) disables partition discovery, which
+    would read it back as NULL and silently drop every base-snapshot row
+    at the downstream ``status == 'pending'`` filters. Recover it from the
+    file path when the data column is absent; delta snapshots (plain
+    files, real column) pass through ``coalesce`` untouched.
+    """
     reader = (spark.readStream.schema(FRONTIER_STREAM_SCHEMA)
-              .option("recursiveFileLookup", "true"))
+              .option("recursiveFileLookup", "true")
+              # stream directly over a live SnapshotStore table dir: skip
+              # its MANIFEST.json (and _SUCCESS markers) — only parquet
+              # data files are frontier rows
+              .option("pathGlobFilter", "*.parquet"))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(frontier_dir)
+    df = reader.parquet(frontier_dir)
+    path_status = F.nullif(
+        F.regexp_extract(F.input_file_name(), r"/status=([^/]+)/", 1),
+        F.lit(""))
+    return df.withColumn("status", F.coalesce(F.col("status"), path_status))
 
 
 def host_rate_metrics(discoveries: DataFrame,

@@ -170,3 +170,57 @@ def test_update_shards_cuckoo_kind(spark):
     probed = sn.probe_shards(seen0.unionByName(new), composed,
                              n_shards=2)
     assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_build_shards_spans_full_id_range(spark):
+    """build_shards emits a row for EVERY shard id — empty shards get a
+    minimal blob — so probe_shards' max(shard_id)+1 inference recovers the
+    build-time modulus exactly. With empty top shards absent, an inferred
+    smaller modulus would route probes to the wrong blobs and produce
+    false NEGATIVES that bypass the exact backstop."""
+    from s_crawler_spark.operators import seen as sn
+
+    # keys only in shards {0, 2, 4} of 8 — shards 5-7 (and the max, 7) empty
+    seen = spark.createDataFrame(
+        [(8 * i + r,) for i in range(20) for r in (0, 2, 4)],
+        "url_hash long")
+    shards = sn.build_shards(seen, 8)
+    rows = shards.collect()
+    assert sorted(r["shard_id"] for r in rows) == list(range(8))
+    assert {r["n_items"] for r in rows if r["shard_id"] in (0, 2, 4)} == {20}
+    assert all(r["n_items"] == 0 for r in rows if r["shard_id"] % 2)
+    # inference path (no n_shards passed) must now be exact vs plain anti
+    cand = spark.createDataFrame(
+        [(k,) for k in range(0, 200)], "url_hash long")
+    got = sorted(r["url_hash"] for r in
+                 sn.dedup_against_seen(cand, seen, shards).collect())
+    exp = sorted(r["url_hash"] for r in
+                 cand.join(seen, "url_hash", "left_anti").collect())
+    assert got == exp
+
+
+def test_update_shards_rebuild_keeps_stored_kind(spark):
+    """An over-capacity shard rebuilds with ITS OWN stored kind even when
+    the caller leaves `kind` at the bloom default, and rebuilt rows cover
+    only the marked shards (never resetting untouched ones)."""
+    from s_crawler_spark.operators import seen as sn
+
+    seen0 = spark.createDataFrame([(4 * i,) for i in range(50)],
+                                  "url_hash long")
+    shards = sn.build_shards(seen0, 4, kind="cuckoo", headroom=1.2)
+    # shard 0 holds 50 keys sized for ~60: adding 80 more overflows the
+    # 0.84 load-factor guard and marks the shard for rebuild
+    new = spark.createDataFrame([(4 * i,) for i in range(50, 130)],
+                                "url_hash long")
+    seen_all = seen0.unionByName(new)
+    upd = sn.update_shards(shards, new, seen_all, 4)  # kind default: bloom
+    rows = {r["shard_id"]: r for r in upd.collect()}
+    assert set(rows) == {0}  # only the touched shard comes back
+    assert rows[0]["kind"] == "cuckoo"
+    assert rows[0]["n_items"] == 130
+    # compose the post-update table the way the store's merge-on-read
+    # does (updated rows win, untouched rows carried forward) and probe
+    merged = upd.unionByName(
+        shards.join(upd.select("shard_id"), "shard_id", "left_anti"))
+    probe = sn.probe_shards(seen_all, merged, n_shards=4)
+    assert probe.filter(~probe.maybe_seen).count() == 0  # no false negatives

@@ -139,3 +139,38 @@ def test_dedup_discoveries_first_occurrence(spark, frontier_dir, tmp_path):
                both.groupBy("url_hash").agg(F.min("seq").alias("m")).collect()}
     for r in out.collect():
         assert r["seq"] == min_seq[r["url_hash"]]
+
+
+def test_stream_recovers_status_from_partitioned_snapshots(spark, tmp_path):
+    """Full frontier snapshots are hive-partitioned by status (the column
+    lives only in the directory name) while deltas carry it as data;
+    recursiveFileLookup disables partition discovery, so stream_discoveries
+    must recover the partition value from the file path — a NULL status
+    would silently drop every base-snapshot row at the pending filters."""
+    import datetime as dt
+
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    rows = [(f"https://h{i % 2}.org/{i}", None, f"h{i % 2}.org", 0, 0,
+             i, "pending" if i % 3 else "done", 0, None, t0, t0)
+            for i in range(12)]
+    base = spark.createDataFrame(rows, fs.FRONTIER_STREAM_SCHEMA)
+    st = SnapshotStore(str(tmp_path / "snaps"))
+    st.commit(base, "frontier", wave=0, partition_by=["status"])
+    delta = spark.createDataFrame(
+        [("https://h0.org/d", None, "h0.org", 0, 1, 100, "pending",
+          0, None, t0, t0)], fs.FRONTIER_STREAM_SCHEMA)
+    st.commit_delta(delta, "frontier", wave=1, key=["url_hash"])
+
+    src = fs.stream_discoveries(spark, str(tmp_path / "snaps" / "frontier"))
+    q = (src.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.filter(F.col("status").isNull()).count() == 0
+    counts = {r["status"]: r["count"]
+              for r in got.groupBy("status").count().collect()}
+    assert counts == {"pending": 9, "done": 4}

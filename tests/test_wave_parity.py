@@ -373,3 +373,28 @@ def test_fetch_log_incremental_counts_exact(spark, pages, pages_dict, tmp_path):
                store.read(spark, "frontier", as_of_wave=w)
                .groupBy("status").count().collect()}
         assert got == exp, (w, got, exp)
+
+
+def test_resume_with_different_n_shards_rebuilds_layout(spark, pages,
+                                                        pages_dict, tmp_path):
+    """Resuming a crawl with a different n_shards must not fold new keys
+    into blobs laid out under the old modulus: the wave probes with the
+    STORED layout (snapshot meta), then rebuilds the shard table once
+    under the new one — and the crawl still matches the reference."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "ns"))
+    crawl(spark, pages, seed_search_url(), store,
+          wave_seconds=100, max_waves=2, n_shards=4)
+    meta0 = [s["meta"].get("n_shards")
+             for s in store.snapshots("seen_shards")]
+    assert meta0 and all(m == 4 for m in meta0)
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards=8)
+    assert_parity(cat.collect(), sim)
+    snaps = store.snapshots("seen_shards")
+    assert snaps[-1]["meta"].get("n_shards") == 8
+    # the final committed layout spans the full new id range
+    shards = store.read(spark, "seen_shards")
+    assert sorted(r["shard_id"] for r in
+                  shards.select("shard_id").distinct().collect()) \
+        == list(range(8))

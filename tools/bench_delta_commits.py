@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 
@@ -79,6 +80,7 @@ def main() -> None:
             "frontier_commit_ms": ms_per_wave,
             "store_bytes": du_bytes(root),
         }
+        shutil.rmtree(root, ignore_errors=True)  # no stranded /tmp stores
 
     f_rows = summary["full_every_wave"]["rows_written_total"]
     d_rows = summary["delta"]["rows_written_total"]
