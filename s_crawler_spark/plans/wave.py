@@ -404,7 +404,10 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             from ..operators import traps as tp
             flagged = (tp.trap_hosts(pending)
                        .filter(F.col("is_trap") == 1).select("host"))
-            pending = pending.join(flagged, on="host", how="left_anti")
+            # host-dimensioned build side: broadcast so the O(pending) left
+            # never sort-merge-shuffles past the auto-broadcast threshold
+            pending = pending.join(F.broadcast(flagged), on="host",
+                                   how="left_anti")
         if adaptive_delay and policy_df is not None:
             # adapted state from previous waves (or a resumed snapshot);
             # hosts first seen this wave join at the same default a fresh
@@ -452,7 +455,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # the changed subset produces exactly the rows a MERGE would write
         changed = (new_frontier_rows if frontier_df is None
                    else new_frontier_rows.unionByName(
-                       frontier_df.join(results.select("url_hash"),
+                       frontier_df.join(F.broadcast(results.select("url_hash")),
                                         on="url_hash", how="left_semi")))
         frontier_delta = fr.record_results(changed, results, logical_now) \
             .localCheckpoint(eager=False)  # consumers: commit, seen, count

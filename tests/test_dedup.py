@@ -108,3 +108,29 @@ def test_anti_join_keeps_null_keys(spark):
     seen = spark.createDataFrame([("a",)], "doi string")
     out = dd.anti_join_seen(cand, seen, "doi")
     assert sorted(r["seq"] for r in out.collect()) == [2, 3]
+
+
+def test_pruned_anti_join_equals_plain_anti_join(spark):
+    """pruned_anti_join (broadcast semi-prune of the O(total) side) is
+    value-identical to a plain left_anti: NULL-keyed candidates pass
+    through, duplicate keys on the big side collapse, and a prune_keys
+    SUPERSET changes nothing."""
+    from s_crawler_spark.operators.dedup import pruned_anti_join
+
+    cand = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "n1"), (None, "n2")],
+        "k int, v string")
+    big = spark.createDataFrame(
+        [(2,), (2,), (2,), (9,), (None,)], "k int")
+    by_v = lambda t: t[1]  # None keys are not orderable against ints
+    exp = sorted(((r["k"], r["v"]) for r in
+                  cand.join(big.select("k").distinct(), "k", "left_anti")
+                  .collect()), key=by_v)
+    got = sorted(((r["k"], r["v"]) for r in
+                  pruned_anti_join(cand, big, "k").collect()), key=by_v)
+    assert got == exp == [(1, "a"), (3, "c"), (None, "n1"), (None, "n2")]
+    sup = spark.createDataFrame([(k,) for k in range(50)], "k int")
+    got_sup = sorted(((r["k"], r["v"]) for r in
+                      pruned_anti_join(cand, big, "k", prune_keys=sup)
+                      .collect()), key=by_v)
+    assert got_sup == exp
