@@ -163,3 +163,44 @@ def test_partitioned_full_commit_composes_and_prunes(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "pending" in plan
     assert {r["status"] for r in pend.collect()} == {"pending"}
+
+
+def test_randomized_commit_sequences_match_dict_oracle(spark, tmp_path):
+    """Seeded randomized sequences of full / append-delta / keyed-delta
+    commits, interleaved with expiry, always compose to the same state as
+    a plain dict fold — the MERGE-on-read semantics hold under arbitrary
+    commit orders, not just the crawl loop's pattern."""
+    import random
+
+    rng = random.Random(20260818)
+    for trial in range(6):
+        st = SnapshotStore(str(tmp_path / f"r{trial}"))
+        oracle: dict[int, str] = {}
+        n_waves = rng.randint(3, 7)
+        for wave in range(n_waves):
+            kind = ("full" if wave == 0 else
+                    rng.choice(["full", "delta_append", "delta_upsert"]))
+            if kind == "full":
+                # full snapshots rewrite complete state: mutate the oracle
+                # first, then commit exactly its contents
+                for _ in range(rng.randint(1, 4)):
+                    oracle[rng.randint(0, 20)] = f"w{wave}.{rng.random():.3f}"
+                df = _df(spark, [{"k": k, "v": v} for k, v in oracle.items()])
+                st.commit(df, "t", wave=wave)
+            elif kind == "delta_append":
+                rows = [{"k": 100 + wave * 10 + i, "v": f"a{wave}.{i}"}
+                        for i in range(rng.randint(1, 3))]
+                for r in rows:
+                    oracle[r["k"]] = r["v"]
+                st.commit_delta(_df(spark, rows), "t", wave=wave)
+            else:
+                ks = rng.sample(sorted(oracle) or [0], 
+                                min(len(oracle) or 1, rng.randint(1, 3)))
+                rows = [{"k": k, "v": f"u{wave}.{k}"} for k in ks]
+                for r in rows:
+                    oracle[r["k"]] = r["v"]
+                st.commit_delta(_df(spark, rows), "t", wave=wave, key=["k"])
+            if rng.random() < 0.3:
+                st.expire_snapshots("t", keep=rng.randint(1, 2))
+            got = {r["k"]: r["v"] for r in st.read(spark, "t").collect()}
+            assert got == oracle, (trial, wave, kind)
