@@ -515,6 +515,42 @@ def main() -> int:
                         p18b))),
     ])
 
+    # ---- streaming admission: broadcast policy join, one host shuffle -----
+    # The per-host rate must ride ON the micro-batch rows via a broadcast
+    # dimension join BEFORE the host shuffle (round-3 verdict #3: no
+    # driver-collected host map pickled into the state closure). The plan
+    # shows it directly: one Exchange (the groupBy("host") state shuffle)
+    # with the BroadcastHashJoin below it.
+    from s_crawler_spark.streaming import frontier_stream as fstr
+    sdir = tempfile.mkdtemp(prefix="audit_stream_")
+    pages.select(
+        "url", F.xxhash64("url").alias("url_hash"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.lit(0).alias("priority"), F.lit(0).alias("wave"),
+        F.xxhash64("url").alias("seq"), F.lit("pending").alias("status"),
+        F.lit(0).alias("attempts"), F.lit(None).cast("string").alias("last_error"),
+        F.current_timestamp().alias("next_eligible"),
+        F.current_timestamp().alias("discovered_at"),
+    ).limit(50).write.parquet(sdir + "/wave=0")
+    pol_aud = spark.createDataFrame([("x.org", 500)],
+                                    "host string, crawl_delay_ms int")
+    p20 = plan_of(fstr.politeness_admission(
+        fstr.stream_discoveries(spark, sdir), crawl_delay_ms=1000, burst=3,
+        host_policy=pol_aud))
+    tree20 = p20.split("\n\n")[0].splitlines()
+    ex20 = [i for i, l in enumerate(tree20)
+            if re.search(r"[+:]- Exchange \(\d+\)", l)]
+    bj20 = [i for i, l in enumerate(tree20) if "BroadcastHashJoin" in l]
+    all_ok &= audit("politeness_admission (stream-static policy join)", p20, [
+        ("policy decorates rows via BroadcastHashJoin (no driver host map)",
+         len(bj20) == 1 and "SortMergeJoin" not in p20),
+        ("exactly one shuffle — the host state Exchange — and the policy "
+         "join sits below it (joined before the shuffle)",
+         len(ex20) == 1 and bj20 and ex20[0] < bj20[0]),
+        ("stateful operator present (applyInPandasWithState)",
+         "FlatMapGroupsInPandasWithState" in p20),
+    ])
+
     # ---- incremental seen-shard maintenance (update_shards) ---------------
     seen_aud = urls.select("url_hash")
     shards_aud = sn.build_shards(
