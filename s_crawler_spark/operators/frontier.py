@@ -103,7 +103,10 @@ def record_results(frontier: DataFrame, results: DataFrame, logical_now) -> Data
         F.col("success").alias("__r_success"),
         F.col("error").alias("__r_error"),
     )
-    j = frontier.join(r, frontier["url_hash"] == r["__r_hash"], "left")
+    # results are wave-sized; the frontier side is O(total) on compaction
+    # waves — broadcast the outcomes so the merge never shuffles the frontier
+    j = frontier.join(F.broadcast(r), frontier["url_hash"] == r["__r_hash"],
+                      "left")
     new_attempts = F.col("attempts") + 1
     updated = (
         j.withColumn(
