@@ -408,9 +408,14 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
     inference itself is exact because build_shards emits a row for every
     shard id, empty shards included.
     """
-    if shards is None:
-        return candidates.join(seen.select(key_col), on=key_col, how="left_anti")
     from .dedup import pruned_anti_join
+    if shards is None:
+        # no filter table yet (first wave / externally seeded store): the
+        # backstop IS the whole dedup — still the pruned shape, since
+        # `seen` can already be O(total). Checkpoint: candidates feed both
+        # the prune key set and the anti-join left.
+        return pruned_anti_join(candidates.localCheckpoint(eager=False),
+                                seen, key_col)
     # lazy checkpoint: the cogroup probe has three consumers (the fresh
     # branch, the suspect branch, and the backstop's prune key set) — it
     # must execute once per wave, not once per consumer

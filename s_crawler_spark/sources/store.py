@@ -119,6 +119,12 @@ class SnapshotStore:
         snap_id = (existing[0]["id"] if existing else
                    max((s["id"] for s in manifest["snapshots"]), default=-1) + 1)
         path = os.path.join(tdir, f"snap-{snap_id}")
+        if partition_by and df.isEmpty():
+            # a partitioned write of ZERO rows emits no data files at all
+            # (only _SUCCESS), and reading such a directory cannot infer a
+            # schema — fall back to a plain write, whose empty part file
+            # carries the schema (one limit-1 job, compaction waves only)
+            partition_by = None
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -70,10 +70,15 @@ def stream_discoveries(spark: SparkSession, frontier_dir: str,
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(frontier_dir)
-    path_status = F.nullif(
+    raw = F.nullif(
         F.regexp_extract(F.input_file_name(), r"/status=([^/]+)/", 1),
         F.lit(""))
-    return df.withColumn("status", F.coalesce(F.col("status"), path_status))
+    # normalize the directory encoding back to the column's raw value:
+    # hive %-escapes special chars and spells NULL as the default-partition
+    # token — delta rows carry the raw column, and the two representations
+    # must not diverge for the same logical status
+    raw = F.url_decode(F.nullif(raw, F.lit("__HIVE_DEFAULT_PARTITION__")))
+    return df.withColumn("status", F.coalesce(F.col("status"), raw))
 
 
 def host_rate_metrics(discoveries: DataFrame,

@@ -204,3 +204,16 @@ def test_randomized_commit_sequences_match_dict_oracle(spark, tmp_path):
                 st.expire_snapshots("t", keep=rng.randint(1, 2))
             got = {r["k"]: r["v"] for r in st.read(spark, "t").collect()}
             assert got == oracle, (trial, wave, kind)
+
+
+def test_empty_partitioned_commit_reads_back_empty(spark, tmp_path):
+    """A zero-row full commit with partition_by must stay readable: a
+    partitioned empty write emits no data files (schema becomes
+    uninferrable), so the store falls back to a plain schema-bearing
+    empty write."""
+    st = SnapshotStore(str(tmp_path / "e"))
+    df = _df(spark, [{"k": 1, "v": "a", "status": "pending"}]).filter("k > 99")
+    st.commit(df, "t", wave=0, partition_by=["status"])
+    out = st.read(spark, "t")
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v", "status"}

@@ -398,3 +398,17 @@ def test_resume_with_different_n_shards_rebuilds_layout(spark, pages,
     assert sorted(r["shard_id"] for r in
                   shards.select("shard_id").distinct().collect()) \
         == list(range(8))
+
+
+def test_crawl_with_no_matching_seed_terminates_gracefully(spark, tmp_path):
+    """A corpus where nothing matches the seed listing: wave 0 commits
+    EMPTY state (incl. the status-partitioned frontier) and the loop must
+    return None/empty instead of failing to re-read its own snapshot."""
+    barren = spark.createDataFrame(
+        [("https://elsewhere.org/x", bytearray(b"<html></html>"))],
+        "url string, html binary")
+    store = SnapshotStore(str(tmp_path / "empty"))
+    cat = crawl(spark, barren, seed_search_url(), store,
+                wave_seconds=3600, max_waves=5, n_shards=4)
+    assert cat is None or cat.count() == 0
+    assert store.read(spark, "frontier").count() == 0
