@@ -400,8 +400,11 @@ def dedup_against_seen(candidates: DataFrame, seen: DataFrame,
 
     Filter-negatives pass straight through (no shuffle against ``seen``);
     filter-positives go through the exact ``left_anti`` backstop so false
-    positives never drop a crawlable URL. Without shards, plain exact
-    anti-join (the small-scale / first-wave path).
+    positives never drop a crawlable URL. Without shards (first-wave /
+    externally seeded path) the backstop is the whole dedup — still the
+    ``pruned_anti_join`` shape, since ``seen`` can already be O(total);
+    the candidates frame is consumed twice (prune key set + anti-join
+    left), hence the lazy checkpoint, and must stay wave-bounded.
 
     Pass ``n_shards`` when the build-time shard count is known (the crawl
     loop does): it skips probe_shards' max(shard_id) inference job. The

@@ -73,11 +73,19 @@ def stream_discoveries(spark: SparkSession, frontier_dir: str,
     raw = F.nullif(
         F.regexp_extract(F.input_file_name(), r"/status=([^/]+)/", 1),
         F.lit(""))
-    # normalize the directory encoding back to the column's raw value:
-    # hive %-escapes special chars and spells NULL as the default-partition
-    # token — delta rows carry the raw column, and the two representations
-    # must not diverge for the same logical status
-    raw = F.url_decode(F.nullif(raw, F.lit("__HIVE_DEFAULT_PARTITION__")))
+    # Normalize the directory encoding back to the column's raw value —
+    # delta rows carry the raw column, and the two representations must not
+    # diverge for the same logical status. TWO %-escape layers stack here:
+    # hive escapes special chars when writing the dir name (value "100%done"
+    # → dir "status=100%25done"), then input_file_name URI-encodes the path
+    # once more ("100%2525done"), so one decode per layer. Neither layer
+    # escapes a literal "+", but url_decode is form-decoding (+ → space) —
+    # shield it as %2B before each pass or "a+b" corrupts to "a b".
+    def _pct_decode(col):
+        return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+    raw = _pct_decode(_pct_decode(
+        F.nullif(raw, F.lit("__HIVE_DEFAULT_PARTITION__"))))
     return df.withColumn("status", F.coalesce(F.col("status"), raw))
 
 

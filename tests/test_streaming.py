@@ -174,3 +174,34 @@ def test_stream_recovers_status_from_partitioned_snapshots(spark, tmp_path):
     counts = {r["status"]: r["count"]
               for r in got.groupBy("status").count().collect()}
     assert counts == {"pending": 9, "done": 4}
+
+
+def test_stream_status_decode_roundtrip_hive_escapes(spark, tmp_path):
+    """Path-recovered status must equal the raw column value even for
+    hive-escaped chars. Two %-encode layers stack on the path (hive dir
+    escaping, then input_file_name's URI encoding) so one url_decode
+    leaves hive escapes intact ('100%done' read back as '100%25done');
+    and url_decode's form semantics turn a literal '+' — which NEITHER
+    layer escapes — into a space. Both must round-trip exactly or the
+    same logical status splits into two values vs delta rows."""
+    import datetime as dt
+
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    statuses = ["100%done", "a+b", "v=1:x*", "pending"]
+    rows = [(f"https://h.org/{i}", None, "h.org", 0, 0, i, s, 0, None, t0, t0)
+            for i, s in enumerate(statuses)]
+    base = spark.createDataFrame(rows, fs.FRONTIER_STREAM_SCHEMA)
+    st = SnapshotStore(str(tmp_path / "snaps"))
+    st.commit(base, "frontier", wave=0, partition_by=["status"])
+
+    src = fs.stream_discoveries(spark, str(tmp_path / "snaps" / "frontier"))
+    q = (src.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["seq"]: r["status"]
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {i: s for i, s in enumerate(statuses)}

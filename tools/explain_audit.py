@@ -515,6 +515,30 @@ def main() -> int:
                         p18b))),
     ])
 
+    # ---- S10 outcome merge: results broadcast, frontier never shuffles ----
+    # record_results merges wave-sized outcomes into the O(total) frontier;
+    # the hint must hold (results broadcast, zero shuffle Exchanges) or
+    # compaction waves reintroduce a full-frontier hash partition.
+    fr_full = fr_aud.select(
+        "url_hash", "url", "status", F.lit(0).alias("attempts"),
+        F.lit(None).cast("string").alias("last_error"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("next_eligible"))
+    res_aud = fr_full.filter(F.xxhash64("url") % 7 == 0).select(
+        "url_hash", F.lit(False).alias("success"),
+        F.lit("timeout").alias("error"))
+    p21 = plan_of(frn.record_results(fr_full, res_aud,
+                                     "2024-06-01 00:01:00"))
+    tree21 = p21.split("\n\n")[0].splitlines()
+    shuf21 = [l for l in tree21 if re.search(r"[+:]- Exchange \(\d+\)", l)
+              or re.match(r"Exchange \(\d+\)", l.strip())]
+    all_ok &= audit("record_results (S10 outcome merge)", p21, [
+        ("wave outcomes broadcast onto the frontier (BroadcastHashJoin, "
+         "no SortMergeJoin)",
+         "BroadcastHashJoin" in p21 and "SortMergeJoin" not in p21),
+        ("zero shuffle Exchanges — the O(total) frontier side is never "
+         "hash-partitioned by the merge", not shuf21),
+    ])
+
     # ---- streaming admission: broadcast policy join, one host shuffle -----
     # The per-host rate must ride ON the micro-batch rows via a broadcast
     # dimension join BEFORE the host shuffle (round-3 verdict #3: no
