@@ -208,6 +208,19 @@ SHARDS_SCHEMA = T.StructType([
 ])
 
 
+def _make_blob(keys: np.ndarray, kind: str, bits_per_key: int,
+               headroom: float) -> bytes:
+    """Size and build ONE filter blob — the single sizing formula for every
+    blob-construction site (build_shards and update_shards' born/rebuild
+    paths). update_shards' in-place capacity check
+    ``(n_items + len(keys)) * bits_per_key <= len(blob) * 8`` is only sound
+    while blobs are sized exactly here; never duplicate these formulas."""
+    if kind == "cuckoo":
+        n_buckets = max(16, int(len(keys) * headroom / (0.84 * _CK_SLOTS)) + 1)
+        return cuckoo_build(keys, n_buckets)
+    return bloom_build(keys, max(64, int(len(keys) * bits_per_key * headroom)))
+
+
 def build_shards(seen: DataFrame, n_shards: int,
                  bits_per_key: int = DEFAULT_BITS_PER_KEY,
                  kind: str = "bloom",
@@ -232,11 +245,7 @@ def build_shards(seen: DataFrame, n_shards: int,
         # silently corrupts 64-bit hashes past 2^53
         keys = (pdf.loc[pdf["__real"].to_numpy(), key_col]
                 .to_numpy(dtype=np.int64).astype(np.uint64))
-        if kind == "cuckoo":
-            n_buckets = max(16, int(len(keys) * headroom / (0.84 * _CK_SLOTS)) + 1)
-            bits = cuckoo_build(keys, n_buckets)
-        else:
-            bits = bloom_build(keys, max(64, int(len(keys) * bits_per_key * headroom)))
+        bits = _make_blob(keys, kind, bits_per_key, headroom)
         return pd.DataFrame({
             "shard_id": [int(key[0])], "kind": [kind],
             "bits": [bits], "n_items": [len(keys)],
@@ -301,12 +310,11 @@ def update_shards(shards: DataFrame, new_keys: DataFrame, seen: DataFrame,
     def upd(key, shard_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
         ks = keys_pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
         if len(shard_pdf) == 0:
-            # shard born this wave: fresh blob with headroom
-            if knd == "cuckoo":
-                nb = max(16, int(len(ks) * hr / (0.84 * _CK_SLOTS)) + 1)
-                new_bits = cuckoo_build(ks, nb)
-            else:
-                new_bits = bloom_build(ks, max(64, int(len(ks) * bpk * hr)))
+            # shard born this wave: fresh blob with headroom. (Unreachable
+            # from the crawl loop — build_shards emits a row for EVERY id,
+            # so old_touched covers all touched shards — but kept for
+            # externally assembled shard tables with id gaps.)
+            new_bits = _make_blob(ks, knd, bpk, hr)
             return pd.DataFrame({"shard_id": [int(key[0])], "kind": [knd],
                                  "bits": [new_bits], "n_items": [len(ks)]})
         blob = shard_pdf["bits"].iloc[0]
@@ -329,20 +337,30 @@ def update_shards(shards: DataFrame, new_keys: DataFrame, seen: DataFrame,
     markers = updated.filter(F.col("bits").isNull()).select("shard_id", "kind")
     # rebuild each marked shard with ITS OWN stored kind (a cuckoo shard
     # must not silently come back as bloom just because the caller left
-    # `kind` at its default); one branch per kind, each an empty-pruned
-    # scan when no shard of that kind is marked — still lazy, no collect
-    rebuilt = None
-    for mk in ("bloom", "cuckoo"):
-        mk_ids = markers.filter(F.col("kind") == mk).select("shard_id")
-        src = (seen.select(key_col)
-               .withColumn("shard_id",
-                           F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
-               .join(F.broadcast(mk_ids), on="shard_id", how="left_semi")
-               .drop("shard_id"))
-        part = build_shards(src, n_shards, bits_per_key=bits_per_key,
-                            kind=mk, key_col=key_col, headroom=headroom) \
-            .join(F.broadcast(mk_ids), on="shard_id", how="left_semi")
-        rebuilt = part if rebuilt is None else rebuilt.unionByName(part)
+    # `kind` at its default): ONE cogroup of the markers against the
+    # marked shards' post-wave keys, building with the marker row's kind —
+    # every group has exactly one marker row (the key scan is semi-pruned
+    # to marker ids), and an empty marker set prunes the seen scan to
+    # nothing, so the common no-overflow wave costs one empty-input stage
+    # rather than two full-sentinel build_shards subtrees.
+    marked_src = (seen.select(key_col)
+                  .withColumn("shard_id",
+                              F.pmod(F.col(key_col), F.lit(n_shards)).cast("int"))
+                  .join(F.broadcast(markers.select("shard_id")),
+                        on="shard_id", how="left_semi"))
+
+    def rebuild(key, marker_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+        ks = keys_pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        shard_kind = marker_pdf["kind"].iloc[0]
+        return pd.DataFrame({
+            "shard_id": [int(key[0])], "kind": [shard_kind],
+            "bits": [_make_blob(ks, shard_kind, bpk, hr)],
+            "n_items": [len(ks)],
+        })
+
+    rebuilt = (markers.groupBy("shard_id")
+               .cogroup(marked_src.groupBy("shard_id"))
+               .applyInPandas(rebuild, schema=SHARDS_SCHEMA))
     return ok.unionByName(rebuilt)
 
 

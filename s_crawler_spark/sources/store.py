@@ -25,8 +25,10 @@ only this wave's changed rows and ``read`` composes them merge-on-read:
 
     base (newest full snapshot)
       ⊕ deltas in snapshot order
-        key=None  → append (plain union)
-        key=[...] → upsert: newest row per key wins
+        key=None  → append (plain union; rows may duplicate a key)
+        key=[...] → upsert: replaces every EARLIER row with the same key —
+                    base rows, earlier upserts, and earlier appends alike
+                    (one MERGE key per table; chains mixing keys raise)
 
 The upsert compose is scale-shaped: the newest-wins window runs over the
 *delta union only* (O(waves-since-compaction × wave size)), and the base is
@@ -150,26 +152,53 @@ class SnapshotStore:
     @staticmethod
     def _compose(spark: SparkSession, snaps: list[dict]) -> DataFrame:
         """Merge-on-read composition of an ordered snapshot chain whose first
-        entry is the base. The newest-wins window runs over the DELTA UNION
-        ONLY (never the base — explain_audit pins every Window input to
-        carry ``__ord``, which only delta rows have); the base joins the
-        delta key set as a left_anti whose key-only build side AQE
+        entry is the base, folding each delta under ITS OWN mode:
+
+        - a keyed (upsert) delta's row replaces every earlier row with the
+          same key — in the base, in earlier keyed deltas, AND in earlier
+          append deltas;
+        - an append delta's rows simply accumulate (they may duplicate an
+          existing key) until a later keyed delta touches that key.
+
+        A single chain must not mix different key column lists (one MERGE
+        key per table, as in Iceberg) — raises ValueError if it does.
+
+        Scale shape: the shadowing window runs over the DELTA UNION ONLY
+        (never the base — explain_audit pins every Window input to carry
+        ``__ord``, which only delta rows have); the base joins the KEYED
+        deltas' key set as a left_anti whose key-only build side AQE
         broadcasts, so the O(total) base never shuffles."""
         base = spark.read.parquet(snaps[0]["path"])
         if len(snaps) == 1:
             return base
         deltas = snaps[1:]
-        key = next((s["key"] for s in reversed(deltas) if s.get("key")), None)
+        keys = {tuple(s["key"]) for s in deltas if s.get("key")}
+        if len(keys) > 1:
+            raise ValueError(
+                f"delta chain mixes merge keys {sorted(keys)}; a table has "
+                "one MERGE key")
+        key = list(keys.pop()) if keys else None
         du = reduce(
             lambda a, b: a.unionByName(b),
-            (spark.read.parquet(s["path"]).withColumn("__ord", F.lit(i))
+            (spark.read.parquet(s["path"])
+             .withColumn("__ord", F.lit(i))
+             .withColumn("__keyed", F.lit(bool(s.get("key"))))
              for i, s in enumerate(deltas, start=1)))
         if key:
-            w = Window.partitionBy(*key).orderBy(F.col("__ord").desc())
-            du = (du.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1).drop("__rn"))
-            base = base.join(du.select(*key).distinct(), on=key, how="left_anti")
-        return base.unionByName(du.drop("__ord"))
+            # newest KEYED occurrence per key shadows everything older;
+            # append rows at or after it (and keys never upserted) survive.
+            # One unordered window over the delta union — the same single
+            # key-hash exchange as a plain newest-wins row_number.
+            w = Window.partitionBy(*key)
+            du = (du.withColumn(
+                      "__last",
+                      F.max(F.when(F.col("__keyed"), F.col("__ord"))).over(w))
+                  .filter(F.col("__last").isNull()
+                          | (F.col("__ord") >= F.col("__last")))
+                  .drop("__last"))
+            upserted = (du.filter(F.col("__keyed")).select(*key).distinct())
+            base = base.join(upserted, on=key, how="left_anti")
+        return base.unionByName(du.drop("__ord", "__keyed"))
 
     def read(self, spark: SparkSession, table: str,
              snapshot: int | None = None,

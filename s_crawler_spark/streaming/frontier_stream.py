@@ -215,7 +215,11 @@ def politeness_admission(discoveries: DataFrame,
     before the host shuffle (the same J4 shape compose_wave uses) and the
     state function reads the rate off its group's rows — no driver
     ``collect()``, no per-task pickled host map: at an open-web host count
-    (10^7+) the policy stays a distributed table end to end."""
+    (10^7+) the policy stays a distributed table end to end. A host with
+    several policy rows is collapsed to its LARGEST delay before the join
+    (most-polite wins): a plain left join would fan each discovery out per
+    duplicate row — duplicate admissions that also double-charge the token
+    bucket — where the old driver-dict form silently kept one row."""
     pending = discoveries.filter(F.col("status") == "pending")
     if host_policy is None:
         decorated = pending.withColumn("__delay_ms",
@@ -226,10 +230,10 @@ def politeness_admission(discoveries: DataFrame,
                 list(host_policy.items()), "host string, crawl_delay_ms int")
         else:
             pol = host_policy
-        decorated = pending.join(
-            F.broadcast(pol.select("host", F.col("crawl_delay_ms")
-                                   .cast("int").alias("__delay_ms"))),
-            on="host", how="left")
+        pol = (pol.groupBy("host")
+               .agg(F.max(F.col("crawl_delay_ms").cast("int"))
+                    .alias("__delay_ms")))
+        decorated = pending.join(F.broadcast(pol), on="host", how="left")
     return (
         decorated
         .groupBy("host")

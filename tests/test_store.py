@@ -165,45 +165,63 @@ def test_partitioned_full_commit_composes_and_prunes(spark, tmp_path):
     assert {r["status"] for r in pend.collect()} == {"pending"}
 
 
-def test_randomized_commit_sequences_match_dict_oracle(spark, tmp_path):
+def test_randomized_commit_sequences_match_fold_oracle(spark, tmp_path):
     """Seeded randomized sequences of full / append-delta / keyed-delta
     commits, interleaved with expiry, always compose to the same state as
-    a plain dict fold — the MERGE-on-read semantics hold under arbitrary
-    commit orders, not just the crawl loop's pattern."""
+    a plain per-delta fold over a row MULTISET — appends may collide with
+    existing keys (the rows coexist), and an upsert removes EVERY earlier
+    row with its key, appended duplicates included. The MERGE-on-read
+    semantics hold under arbitrary commit orders and mode mixes, not just
+    the crawl loop's mode-homogeneous pattern."""
     import random
 
     rng = random.Random(20260818)
     for trial in range(6):
         st = SnapshotStore(str(tmp_path / f"r{trial}"))
-        oracle: dict[int, str] = {}
+        oracle: list[tuple[int, str]] = []
         n_waves = rng.randint(3, 7)
         for wave in range(n_waves):
             kind = ("full" if wave == 0 else
                     rng.choice(["full", "delta_append", "delta_upsert"]))
             if kind == "full":
-                # full snapshots rewrite complete state: mutate the oracle
-                # first, then commit exactly its contents
-                for _ in range(rng.randint(1, 4)):
-                    oracle[rng.randint(0, 20)] = f"w{wave}.{rng.random():.3f}"
-                df = _df(spark, [{"k": k, "v": v} for k, v in oracle.items()])
+                # full snapshots rewrite complete state
+                oracle = [(rng.randint(0, 20), f"w{wave}.{i}")
+                          for i in range(rng.randint(1, 5))]
+                df = _df(spark, [{"k": k, "v": v} for k, v in oracle])
                 st.commit(df, "t", wave=wave)
             elif kind == "delta_append":
-                rows = [{"k": 100 + wave * 10 + i, "v": f"a{wave}.{i}"}
+                # keys deliberately overlap live state: append must
+                # ACCUMULATE the duplicate, never shadow or be shadowed
+                rows = [{"k": rng.randint(0, 25), "v": f"a{wave}.{i}"}
                         for i in range(rng.randint(1, 3))]
-                for r in rows:
-                    oracle[r["k"]] = r["v"]
+                oracle.extend((r["k"], r["v"]) for r in rows)
                 st.commit_delta(_df(spark, rows), "t", wave=wave)
             else:
-                ks = rng.sample(sorted(oracle) or [0], 
-                                min(len(oracle) or 1, rng.randint(1, 3)))
-                rows = [{"k": k, "v": f"u{wave}.{k}"} for k in ks]
-                for r in rows:
-                    oracle[r["k"]] = r["v"]
+                live = sorted({k for k, _ in oracle}) or [0]
+                ks = set(rng.sample(live, min(len(live), rng.randint(1, 3))))
+                rows = [{"k": k, "v": f"u{wave}.{k}"} for k in sorted(ks)]
+                oracle = ([kv for kv in oracle if kv[0] not in ks]
+                          + [(r["k"], r["v"]) for r in rows])
                 st.commit_delta(_df(spark, rows), "t", wave=wave, key=["k"])
             if rng.random() < 0.3:
                 st.expire_snapshots("t", keep=rng.randint(1, 2))
-            got = {r["k"]: r["v"] for r in st.read(spark, "t").collect()}
-            assert got == oracle, (trial, wave, kind)
+            got = sorted((r["k"], r["v"])
+                         for r in st.read(spark, "t").collect())
+            assert got == sorted(oracle), (trial, wave, kind)
+
+
+def test_mixed_merge_keys_in_one_chain_raise(spark, tmp_path):
+    """A table has ONE MERGE key: a delta chain whose keyed deltas disagree
+    on key columns is a caller bug and must fail loudly at read, not pick
+    one key silently."""
+    import pytest
+
+    st = SnapshotStore(str(tmp_path / "m"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)
+    st.commit_delta(_df(spark, [{"k": 1, "v": "b"}]), "t", wave=1, key=["k"])
+    st.commit_delta(_df(spark, [{"k": 2, "v": "c"}]), "t", wave=2, key=["v"])
+    with pytest.raises(ValueError, match="MERGE key"):
+        st.read(spark, "t")
 
 
 def test_empty_partitioned_commit_reads_back_empty(spark, tmp_path):

@@ -117,6 +117,49 @@ def test_politeness_admission_per_host_policy(spark, tmp_path):
     assert per_host == {"fast.org": 6, "slow.org": 5}
 
 
+def test_politeness_admission_duplicate_policy_rows(spark, tmp_path):
+    """A host with several policy rows must be collapsed to its LARGEST
+    delay before the join (most-polite wins): a plain left join would fan
+    each discovery out per duplicate row — the same URL admitted twice and
+    the token bucket double-charged — where the old driver-dict form kept
+    one row. Duplicated 1000ms+300000ms policy for slow.org must behave
+    exactly like a single 300000ms row (5 admissions over two batches),
+    with zero duplicate (url, seq) outputs anywhere."""
+    import datetime as dt
+    root = tmp_path / "snaps"
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    t1 = t0 + dt.timedelta(seconds=600)
+
+    def rows(ts, wave, seq0):
+        out = []
+        for h in ("fast.org", "slow.org"):
+            for i in range(10):
+                out.append((f"https://{h}/{wave}/{i}", None, h, 0, wave,
+                            seq0 + i, "pending", 0, None, ts, ts))
+        return out
+
+    spark.createDataFrame(rows(t0, 0, 0), fs.FRONTIER_STREAM_SCHEMA) \
+        .coalesce(1).write.parquet(str(root / "wave=0"))
+    spark.createDataFrame(rows(t1, 1, 100), fs.FRONTIER_STREAM_SCHEMA) \
+        .coalesce(1).write.parquet(str(root / "wave=1"))
+    pol = spark.createDataFrame(
+        [("slow.org", 1000), ("slow.org", 300_000)],
+        "host string, crawl_delay_ms int")
+    src = fs.stream_discoveries(spark, str(root), max_files_per_trigger=1)
+    admitted = fs.politeness_admission(
+        src, crawl_delay_ms=1000, burst=3, host_policy=pol)
+    q = (admitted.writeStream.format("parquet")
+         .option("path", str(tmp_path / "adm3"))
+         .option("checkpointLocation", str(tmp_path / "adm3_ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "adm3"))
+    assert out.count() == out.select("url", "seq").distinct().count()
+    per_host = {r["host"]: r["count"]
+                for r in out.groupBy("host").count().collect()}
+    assert per_host == {"fast.org": 6, "slow.org": 5}
+
+
 def test_dedup_discoveries_first_occurrence(spark, frontier_dir, tmp_path):
     """Within-watermark streaming dedup: each url_hash appears once, and the
     survivor is the MIN-seq row (first occurrence in crawl order), even

@@ -561,16 +561,32 @@ def main() -> int:
     p20 = plan_of(fstr.politeness_admission(
         fstr.stream_discoveries(spark, sdir), crawl_delay_ms=1000, burst=3,
         host_policy=pol_aud))
+    # classify each Exchange by its input: the host state shuffle carries
+    # discovery rows (url present); the only other allowed shuffle is the
+    # tiny policy-side most-polite aggregation (host + delay, never url)
+    ex20_blocks = []
+    for b in re.split(r"\n\n", p20):
+        first = (b.splitlines()[0] if b.strip() else "").strip()
+        m = re.match(r"\((\d+)\) Exchange", first)
+        mi = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        if m and mi:
+            ex20_blocks.append(
+                (m.group(1),
+                 {c.split("#")[0].strip() for c in mi.group(1).split(",")}))
+    disc_ex20 = [nid for nid, cols in ex20_blocks if "url" in cols]
     tree20 = p20.split("\n\n")[0].splitlines()
-    ex20 = [i for i, l in enumerate(tree20)
-            if re.search(r"[+:]- Exchange \(\d+\)", l)]
+    dix20 = ([i for i, l in enumerate(tree20)
+              if re.search(rf"Exchange \({disc_ex20[0]}\)", l)]
+             if disc_ex20 else [])
     bj20 = [i for i, l in enumerate(tree20) if "BroadcastHashJoin" in l]
     all_ok &= audit("politeness_admission (stream-static policy join)", p20, [
         ("policy decorates rows via BroadcastHashJoin (no driver host map)",
          len(bj20) == 1 and "SortMergeJoin" not in p20),
-        ("exactly one shuffle — the host state Exchange — and the policy "
-         "join sits below it (joined before the shuffle)",
-         len(ex20) == 1 and bj20 and ex20[0] < bj20[0]),
+        ("exactly ONE Exchange carries discovery rows — the host state "
+         "shuffle; any other Exchange is the policy-side host aggregation",
+         bool(ex20_blocks) and len(disc_ex20) == 1),
+        ("the policy join sits below the state shuffle (rows decorated "
+         "before they shuffle)", dix20 and bj20 and dix20[0] < bj20[0]),
         ("stateful operator present (applyInPandasWithState)",
          "FlatMapGroupsInPandasWithState" in p20),
     ])
