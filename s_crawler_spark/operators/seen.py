@@ -310,13 +310,15 @@ def update_shards(shards: DataFrame, new_keys: DataFrame, seen: DataFrame,
     def upd(key, shard_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
         ks = keys_pdf[key_col].to_numpy(dtype=np.int64).astype(np.uint64)
         if len(shard_pdf) == 0:
-            # shard born this wave: fresh blob with headroom. (Unreachable
-            # from the crawl loop — build_shards emits a row for EVERY id,
-            # so old_touched covers all touched shards — but kept for
-            # externally assembled shard tables with id gaps.)
-            new_bits = _make_blob(ks, knd, bpk, hr)
+            # shard missing from the table (externally assembled id-gap
+            # table — unreachable from the crawl loop, where build_shards
+            # emits a row for EVERY id): emit a rebuild marker so the blob
+            # is rebuilt from the FULL post-wave seen set below. Building
+            # from this wave's new keys alone would drop any pre-existing
+            # seen keys hashing here — persistent false negatives, the
+            # direction the exact backstop can NOT catch.
             return pd.DataFrame({"shard_id": [int(key[0])], "kind": [knd],
-                                 "bits": [new_bits], "n_items": [len(ks)]})
+                                 "bits": [None], "n_items": [len(ks)]})
         blob = shard_pdf["bits"].iloc[0]
         n_items = int(shard_pdf["n_items"].iloc[0])
         shard_kind = shard_pdf["kind"].iloc[0]

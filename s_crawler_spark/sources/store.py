@@ -187,15 +187,23 @@ class SnapshotStore:
         if key:
             # newest KEYED occurrence per key shadows everything older;
             # append rows at or after it (and keys never upserted) survive.
-            # One unordered window over the delta union — the same single
-            # key-hash exchange as a plain newest-wins row_number.
+            # Both window functions share one partitioning — a single
+            # key-hash exchange over the delta union, same as a plain
+            # newest-wins row_number.
             w = Window.partitionBy(*key)
+            # keys are documented unique WITHIN a keyed delta; if a caller
+            # violates that, collapse the duplicates to one row (keyed rows
+            # sort first, newest delta first) rather than silently
+            # returning several state rows for one key
+            wk = w.orderBy(F.col("__keyed").desc(), F.col("__ord").desc())
             du = (du.withColumn(
                       "__last",
                       F.max(F.when(F.col("__keyed"), F.col("__ord"))).over(w))
-                  .filter(F.col("__last").isNull()
-                          | (F.col("__ord") >= F.col("__last")))
-                  .drop("__last"))
+                  .withColumn("__rn", F.row_number().over(wk))
+                  .filter((F.col("__last").isNull()
+                           | (F.col("__ord") >= F.col("__last")))
+                          & (~F.col("__keyed") | (F.col("__rn") == 1)))
+                  .drop("__last", "__rn"))
             upserted = (du.filter(F.col("__keyed")).select(*key).distinct())
             base = base.join(upserted, on=key, how="left_anti")
         return base.unionByName(du.drop("__ord", "__keyed"))

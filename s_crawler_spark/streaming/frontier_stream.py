@@ -226,13 +226,15 @@ def politeness_admission(discoveries: DataFrame,
                                        F.lit(None).cast("int"))
     else:
         if isinstance(host_policy, dict):
+            # dict hosts are unique by construction — no collapse needed
+            # (it would re-run a pointless hash aggregation of the static
+            # side every micro-batch)
             pol = discoveries.sparkSession.createDataFrame(
-                list(host_policy.items()), "host string, crawl_delay_ms int")
+                list(host_policy.items()), "host string, __delay_ms int")
         else:
-            pol = host_policy
-        pol = (pol.groupBy("host")
-               .agg(F.max(F.col("crawl_delay_ms").cast("int"))
-                    .alias("__delay_ms")))
+            pol = (host_policy.groupBy("host")
+                   .agg(F.max(F.col("crawl_delay_ms").cast("int"))
+                        .alias("__delay_ms")))
         decorated = pending.join(F.broadcast(pol), on="host", how="left")
     return (
         decorated

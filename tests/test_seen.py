@@ -143,7 +143,10 @@ def test_update_shards_rebuilds_over_capacity(spark):
     assert sn.bloom_probe(got[1]["bits"], keys).all()
 
 
-def test_update_shards_births_new_shard(spark):
+def test_update_shards_adds_to_empty_sentinel_shard(spark):
+    """Keys landing in a previously key-less shard go through the normal
+    in-place path — build_shards emits a (minimal) blob row for EVERY id,
+    so the shard row exists even when empty."""
     seen0 = spark.createDataFrame([(0,), (4,)], "url_hash long")  # shard 0
     shards = sn.build_shards(seen0, 4, headroom=2.0).localCheckpoint()
     new = spark.createDataFrame([(3,), (7,)], "url_hash long")    # shard 3
@@ -151,6 +154,26 @@ def test_update_shards_births_new_shard(spark):
                            headroom=2.0)
     got = _shards_by_id(upd)
     assert set(got) == {3}
+    assert sn.bloom_probe(got[3]["bits"],
+                          np.array([3, 7], dtype=np.uint64)).all()
+
+
+def test_update_shards_gap_shard_rebuilds_from_seen(spark):
+    """A shard id MISSING from an externally assembled table must be
+    rebuilt from the full post-wave seen set, not just this wave's new
+    keys — otherwise the shard's pre-existing seen keys probe negative
+    forever and bypass the exact backstop (the unguarded direction)."""
+    # url_hash 3 pre-exists in shard 3; the shards table has an id gap
+    seen0 = spark.createDataFrame([(0,), (4,), (3,)], "url_hash long")
+    shards = (sn.build_shards(seen0, 4, headroom=2.0)
+              .filter("shard_id != 3").localCheckpoint())
+    new = spark.createDataFrame([(7,)], "url_hash long")          # shard 3
+    upd = sn.update_shards(shards, new, seen0.unionByName(new), 4,
+                           headroom=2.0)
+    got = _shards_by_id(upd)
+    assert set(got) == {3}
+    assert got[3]["n_items"] == 2
+    # the reborn blob covers the OLD key 3, not only the new key 7
     assert sn.bloom_probe(got[3]["bits"],
                           np.array([3, 7], dtype=np.uint64)).all()
 

@@ -210,6 +210,23 @@ def test_randomized_commit_sequences_match_fold_oracle(spark, tmp_path):
             assert got == sorted(oracle), (trial, wave, kind)
 
 
+def test_keyed_delta_with_duplicate_keys_self_heals(spark, tmp_path):
+    """Keys are documented unique within one keyed delta; if a caller
+    violates that, compose collapses the duplicates to ONE state row per
+    key (any of the duplicate values) rather than silently returning
+    several frontier rows for one url_hash."""
+    st = SnapshotStore(str(tmp_path / "d"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]),
+              "t", wave=0)
+    st.commit_delta(_df(spark, [{"k": 1, "v": "x"}, {"k": 1, "v": "y"}]),
+                    "t", wave=1, key=["k"])
+    rows = st.read(spark, "t").collect()
+    assert len(rows) == 2
+    got = {r["k"]: r["v"] for r in rows}
+    assert got[2] == "b"
+    assert got[1] in {"x", "y"}
+
+
 def test_mixed_merge_keys_in_one_chain_raise(spark, tmp_path):
     """A table has ONE MERGE key: a delta chain whose keyed deltas disagree
     on key columns is a caller bug and must fail loudly at read, not pick

@@ -43,6 +43,10 @@ def audit(name: str, plan: str, checks: list[tuple[str, bool]]) -> bool:
     print(f"\n=== {name} ===")
     ok = True
     for desc, passed in checks:
+        # coerce: short-circuit expressions like `lst and lst[0] < x` yield
+        # [] when the list is empty — `ok &= []` would TypeError mid-report
+        # exactly when a clean FAIL summary is needed
+        passed = bool(passed)
         print(("  PASS " if passed else "  FAIL ") + desc)
         ok &= passed
     return ok
