@@ -194,7 +194,11 @@ class SnapshotStore:
             # keys are documented unique WITHIN a keyed delta; if a caller
             # violates that, collapse the duplicates to one row (keyed rows
             # sort first, newest delta first) rather than silently
-            # returning several state rows for one key
+            # returning several state rows for one key. WHICH duplicate
+            # survives is arbitrary (row_number over tied sort keys — the
+            # value can differ across recomputations of this lazy plan,
+            # same as the pre-delta-mode compose): a guard rail against the
+            # violated precondition, not a deterministic merge of it
             wk = w.orderBy(F.col("__keyed").desc(), F.col("__ord").desc())
             du = (du.withColumn(
                       "__last",

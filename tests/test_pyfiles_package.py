@@ -15,8 +15,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 def _run_from_zip(zip_path, code, tmp_path, timeout):
     """Run `code` in a subprocess whose ONLY s_crawler_spark import path is
-    the zip (cwd moved off the repo so the source tree can't shadow it)."""
-    env = dict(os.environ, PYTHONPATH=zip_path)
+    the zip (cwd moved off the repo so the source tree can't shadow it).
+    PREPEND to PYTHONPATH — Spark-distribution setups provide pyspark/py4j
+    through it, and clobbering them would fail on pyspark, not the zip."""
+    existing = os.environ.get("PYTHONPATH", "")
+    env = dict(os.environ, PYTHONPATH=(
+        zip_path + os.pathsep + existing if existing else zip_path))
     return subprocess.run(
         [sys.executable, "-c", code], cwd=str(tmp_path), env=env,
         capture_output=True, text=True, timeout=timeout)

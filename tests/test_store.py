@@ -213,8 +213,11 @@ def test_randomized_commit_sequences_match_fold_oracle(spark, tmp_path):
 def test_keyed_delta_with_duplicate_keys_self_heals(spark, tmp_path):
     """Keys are documented unique within one keyed delta; if a caller
     violates that, compose collapses the duplicates to ONE state row per
-    key (any of the duplicate values) rather than silently returning
-    several frontier rows for one url_hash."""
+    key rather than silently returning several frontier rows for one
+    url_hash. WHICH duplicate survives is arbitrary and may differ across
+    recomputations of the lazy read — a guard rail, not a deterministic
+    merge (materialize the read before fanning it out to multiple
+    consumers if the precondition might be violated)."""
     st = SnapshotStore(str(tmp_path / "d"))
     st.commit(_df(spark, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]),
               "t", wave=0)

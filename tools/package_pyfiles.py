@@ -26,7 +26,9 @@ PACKAGE = "s_crawler_spark"
 
 def build(out: str | None = None) -> str:
     out = out or os.path.join(REPO_ROOT, "dist", f"{PACKAGE}.zip")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out_dir = os.path.dirname(out)
+    if out_dir:  # bare filename → cwd, makedirs("") raises
+        os.makedirs(out_dir, exist_ok=True)
     pkg_root = os.path.join(REPO_ROOT, PACKAGE)
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
         for dirpath, dirnames, filenames in os.walk(pkg_root):
