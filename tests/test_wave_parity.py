@@ -60,6 +60,11 @@ def test_multiwave_crawl_parity_and_fifo(spark, pages, pages_dict, tmp_path):
     # final URL-seen set: every simulator-stored article's detail URL is seen
     seen_urls = {r["url"] for r in store.read(spark, "seen").collect()}
     assert {a["url"] for a in sim} <= seen_urls
+    # final stored set MATCHES the reference's (north rule): the reference's
+    # seen set is its stored-DOI set (database_manager dedup state) — the
+    # engine's committed catalog must carry exactly those DOIs, no more
+    assert {r["doi"] for r in rows if r["doi"]} == \
+        {d for d in sim_seen if d is not None}
     # >1 wave actually ran (politeness budget respected)
     assert store.latest_wave("frontier") >= 1
 
