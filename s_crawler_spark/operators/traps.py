@@ -17,9 +17,12 @@ flag is engine-exact and oracle-checkable.
 
 Scale shape: feature extraction is embarrassingly parallel in the scan
 stage; the rollup is one groupBy(host) of small int partial aggregates.
-Feed ``trap_hosts(...).filter(is_trap = 1)`` as an anti-join into
-compose_wave's pending set (or zero those hosts' budgets via the
-host_budget override) — containment is a filter, not a crawl-loop change.
+``trap_hosts`` is the one-shot form; the crawl loop instead maintains the
+rollup *incrementally* (``update_trap_state``): the counts are summable and
+each feature is a pure function of the URL string, so per-wave maintenance
+folds only the wave's enqueued/departed rows — O(wave) extraction + a
+host-dimensioned aggregate, never a pending-sized scan. Containment stays a
+filter: anti-join ``is_trap = 1`` hosts out of compose_wave's pending set.
 """
 
 from __future__ import annotations
@@ -63,14 +66,18 @@ def url_trap_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
                 .alias("n_query_params")))
 
 
-def trap_hosts(urls: DataFrame, url_col: str = "url",
-               depth_threshold: int = DEPTH_THRESHOLD,
-               repeat_threshold: int = REPEAT_THRESHOLD,
-               query_threshold: int = QUERY_THRESHOLD,
-               ratio_bp: int = TRAP_RATIO_BP) -> DataFrame:
-    """Per-host trap rollup: counts of URLs tripping each feature and an
-    integer trap flag — ``is_trap = 1`` when suspicious URLs reach
-    ``ratio_bp`` basis points of the host's total."""
+_COUNT_COLS = ("n_urls", "n_deep", "n_repeat", "n_query_heavy", "n_suspicious")
+
+
+def host_trap_counts(urls: DataFrame, url_col: str = "url",
+                     depth_threshold: int = DEPTH_THRESHOLD,
+                     repeat_threshold: int = REPEAT_THRESHOLD,
+                     query_threshold: int = QUERY_THRESHOLD,
+                     weight: int = 1) -> DataFrame:
+    """Per-host summable feature counts. ``weight=-1`` negates every count,
+    which is what makes the rollup incrementally maintainable: counts over
+    (backlog + enqueued − departed) equal counts over the live pending set,
+    because each feature is a pure function of the URL string."""
     from ..functions import scalars
 
     feats = url_trap_features(urls, url_col)
@@ -83,16 +90,71 @@ def trap_hosts(urls: DataFrame, url_col: str = "url",
     sus = ((F.col("path_depth") >= depth_threshold)
            | (F.col("max_repeat_seg") >= repeat_threshold)
            | (F.col("n_query_params") >= query_threshold))
+    w = F.lit(weight).cast("long")
     return (feats.groupBy(host.alias("host"))
-            .agg(F.count("*").alias("n_urls"),
-                 F.sum((F.col("path_depth") >= depth_threshold).cast("int"))
+            .agg(F.sum(w).alias("n_urls"),
+                 F.sum(w * (F.col("path_depth") >= depth_threshold).cast("int"))
                  .alias("n_deep"),
-                 F.sum((F.col("max_repeat_seg") >= repeat_threshold).cast("int"))
-                 .alias("n_repeat"),
-                 F.sum((F.col("n_query_params") >= query_threshold).cast("int"))
-                 .alias("n_query_heavy"),
-                 F.sum(sus.cast("int")).alias("n_suspicious"))
-            .withColumn(
-                "is_trap",
-                (F.expr("n_suspicious * 10000 div n_urls")
-                 >= F.lit(ratio_bp)).cast("int")))
+                 F.sum(w * (F.col("max_repeat_seg") >= repeat_threshold)
+                       .cast("int")).alias("n_repeat"),
+                 F.sum(w * (F.col("n_query_params") >= query_threshold)
+                       .cast("int")).alias("n_query_heavy"),
+                 F.sum(w * sus.cast("int")).alias("n_suspicious")))
+
+
+def _flag(counts: DataFrame, ratio_bp: int) -> DataFrame:
+    return counts.withColumn(
+        "is_trap",
+        (F.expr("n_suspicious * 10000 div n_urls")
+         >= F.lit(ratio_bp)).cast("int"))
+
+
+def trap_hosts(urls: DataFrame, url_col: str = "url",
+               depth_threshold: int = DEPTH_THRESHOLD,
+               repeat_threshold: int = REPEAT_THRESHOLD,
+               query_threshold: int = QUERY_THRESHOLD,
+               ratio_bp: int = TRAP_RATIO_BP) -> DataFrame:
+    """Per-host trap rollup: counts of URLs tripping each feature and an
+    integer trap flag — ``is_trap = 1`` when suspicious URLs reach
+    ``ratio_bp`` basis points of the host's total."""
+    return _flag(host_trap_counts(urls, url_col, depth_threshold,
+                                  repeat_threshold, query_threshold),
+                 ratio_bp)
+
+
+def update_trap_state(state: DataFrame | None,
+                      added: DataFrame | None = None,
+                      removed: DataFrame | None = None,
+                      url_col: str = "url",
+                      depth_threshold: int = DEPTH_THRESHOLD,
+                      repeat_threshold: int = REPEAT_THRESHOLD,
+                      query_threshold: int = QUERY_THRESHOLD,
+                      ratio_bp: int = TRAP_RATIO_BP) -> DataFrame:
+    """Incremental trap-state maintenance — the O(wave) form of
+    ``trap_hosts(all_pending)``.
+
+    ``state`` is the prior per-host counts table (``trap_hosts`` schema, or
+    None for a fresh crawl); ``added`` / ``removed`` are URL sets entering /
+    leaving the pending backlog this wave. Because every feature is a pure
+    integer function of the URL string, per-host counts fold exactly:
+    feature extraction runs only over the O(wave) delta rows, then one
+    groupBy over host-dimensioned partials — never a pending-sized scan or
+    shuffle. Hosts whose backlog drains to zero drop out of the state
+    (re-adding later restarts them from zero, exactly).
+    """
+    parts = []
+    if state is not None:
+        parts.append(state.select("host", *[F.col(c) for c in _COUNT_COLS]))
+    for urls, weight in ((added, 1), (removed, -1)):
+        if urls is not None:
+            parts.append(host_trap_counts(
+                urls, url_col, depth_threshold, repeat_threshold,
+                query_threshold, weight=weight))
+    if not parts:
+        raise ValueError("update_trap_state needs state, added, or removed")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    summed = merged.groupBy("host").agg(
+        *[F.sum(c).alias(c) for c in _COUNT_COLS])
+    return _flag(summed.filter(F.col("n_urls") > 0), ratio_bp)

@@ -39,6 +39,7 @@ from ..operators import frontier as fr
 from ..operators import lineage as lg
 from ..operators import politeness as po
 from ..operators import seen as sn
+from ..operators import traps as tp
 from ..sources.store import SnapshotStore
 
 LOGICAL_T0 = datetime(2024, 6, 1)
@@ -297,14 +298,19 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     non-adaptive mode.
 
     ``trap_guard=True`` withholds this wave's admission from hosts whose
-    pending URL shapes trip the spider-trap heuristics
+    pending-backlog URL shapes trip the spider-trap heuristics
     (operators/traps.py) — containment is an anti-join on the flagged
-    host set; a no-op on corpora without trap-shaped URL spaces.
+    host set; a no-op on corpora without trap-shaped URL spaces. The
+    per-host rollup is committed wave state (``trap_state``), maintained
+    incrementally from the wave's enqueues/departures (O(wave) feature
+    extraction, host-dimensioned aggregate — never a pending-sized scan);
+    a resume from a store without the table re-seeds it with one scan.
 
     Returns the final articles catalog in crawl order.
     """
     start_wave = 0
     frontier_df = catalog = seen_df = cand_store = policy_df = None
+    trap_state_df = None  # per-host pending-backlog trap counts (trap_guard)
     # per-status frontier row counts, maintained incrementally (O(wave)
     # arithmetic per wave, seeded by ONE scan on the first wave of this
     # process — see the fetch_log commit below). Keyed by status string.
@@ -317,6 +323,16 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         cand_store = store.read(spark, "candidates")
         if adaptive_delay and store.latest_wave("host_policy") is not None:
             policy_df = store.read(spark, "host_policy")
+        if trap_guard:
+            if store.latest_wave("trap_state") is not None:
+                trap_state_df = store.read(spark, "trap_state")
+            else:
+                # store predates incremental trap state: seed with ONE
+                # O(pending) scan this process, incremental thereafter
+                # (same seeding pattern as status_counts below)
+                trap_state_df = tp.update_trap_state(
+                    None, added=frontier_df.filter(
+                        F.col("status") == fr.STATUS_PENDING))
 
     meta_cols = ["url", "title", "doi", "journal", "publication_date", "authors"]
 
@@ -396,14 +412,21 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
 
         # --- politeness-budgeted wave composition + skew salting ---
         pending = fr.eligible_pending(frontier_all, logical_now)
+        pre_trap = None
         if trap_guard:
             # spider-trap containment as an admission filter: hosts whose
             # pending URL shapes trip the trap heuristics stop consuming
             # budget this wave (operators/traps.py; rows stay pending, so
-            # a host that recovers is re-admitted automatically)
-            from ..operators import traps as tp
-            flagged = (tp.trap_hosts(pending)
-                       .filter(F.col("is_trap") == 1).select("host"))
+            # a host that recovers is re-admitted automatically). The
+            # rollup is maintained INCREMENTALLY: fold this wave's
+            # enqueues into the committed per-host counts now, fold the
+            # departures out after the outcomes land — feature extraction
+            # touches only O(wave) rows, never the pending backlog.
+            # checkpointed: two consumers (flag now, departure fold below)
+            pre_trap = tp.update_trap_state(
+                trap_state_df, added=new_frontier_rows) \
+                .localCheckpoint(eager=False)
+            flagged = pre_trap.filter(F.col("is_trap") == 1).select("host")
             # host-dimensioned build side: broadcast so the O(pending) left
             # never sort-merge-shuffles past the auto-broadcast threshold
             pending = pending.join(F.broadcast(flagged), on="host",
@@ -458,7 +481,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                        frontier_df.join(F.broadcast(results.select("url_hash")),
                                         on="url_hash", how="left_semi")))
         frontier_delta = fr.record_results(changed, results, logical_now) \
-            .localCheckpoint(eager=False)  # consumers: commit, seen, count
+            .localCheckpoint(eager=False)  # consumers: commit, seen, count, traps
         # terminal transitions happen exactly once per url_hash (done and
         # retired rows never re-enter a batch), so seen deltas are appends
         seen_delta = frontier_delta \
@@ -574,6 +597,17 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             commit_timed(po.adapt_host_policy(policy, host_results),
                          "host_policy")
             policy_df = store.read(spark, "host_policy")
+        if trap_guard:
+            # fold this wave's pending-set departures (done/retired rows —
+            # retried rows stay pending and stay counted) out of the trap
+            # counts; committed wave state, host-dimensioned like
+            # host_policy, restored on resume
+            commit_timed(tp.update_trap_state(
+                pre_trap,
+                removed=frontier_delta.filter(
+                    F.col("status") != fr.STATUS_PENDING).select("url")),
+                "trap_state")
+            trap_state_df = store.read(spark, "trap_state")
         store.commit(
             spark.createDataFrame(phase_ms, "wave int, phase string, ms long"),
             "phase_log", wave)
@@ -585,7 +619,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             # state tables expire — fetch_log / lineage / phase_log are
             # per-wave ledgers whose history IS the data, never dropped.
             for t in ("frontier", "articles", "seen", "candidates",
-                      "seen_shards", "host_policy"):
+                      "seen_shards", "host_policy", "trap_state"):
                 store.expire_snapshots(t, keep=expire_keep)
 
         n_pending = status_counts.get(fr.STATUS_PENDING, 0)

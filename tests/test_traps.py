@@ -73,6 +73,63 @@ def test_trap_guard_noop_on_clean_corpus(spark, pages, pages_dict, tmp_path):
     assert_parity(cat.collect(), sim)
 
 
+def test_trap_state_drains_to_empty_on_completion(spark, pages, pages_dict,
+                                                  tmp_path):
+    """The committed trap_state is maintained by exact integer folds
+    (enqueues add, departures subtract). A crawl that runs to completion
+    departs every row it enqueued, so the folds must cancel to exactly
+    zero — the state table ends empty, not near-empty."""
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.plans.wave import crawl
+    from s_crawler_spark.sources.store import SnapshotStore
+    store = SnapshotStore(str(tmp_path / "ts"))
+    crawl(spark, pages, seed_search_url(), store, wave_seconds=3600,
+          max_waves=10, n_shards=4, trap_guard=True)
+    assert store.read(spark, "trap_state").count() == 0
+
+
+def test_trap_state_seeded_on_resume_matches_recompute(spark, tmp_path):
+    """Resuming a pre-trap_state store seeds the counts with one pending
+    scan; thereafter the committed state must equal a direct
+    trap_hosts(pending backlog) recompute, row for row."""
+    from pyspark.sql import functions as F
+
+    from s_crawler_spark import corpus as cp
+    from s_crawler_spark.operators import frontier as fr
+    from s_crawler_spark.plans.wave import crawl
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    trap_urls = [f"https://trap.example/{'loop/' * 7}d{i}" for i in range(4)]
+    docs = [dict(doc_id=i, detail_href=u, title=f"Trap doc {i}",
+                 journal="J. Traps", has_journal_span=True,
+                 date_text="01 Jan 2020", authors=["A B"])
+            for i, u in enumerate(trap_urls)]
+    seed_html = cp.render_search_page(
+        1, [cp.render_card(d) for d in docs], has_next=False)
+    pages = spark.createDataFrame(
+        [(cp.seed_search_url(), bytearray(seed_html.encode()))],
+        "url string, html binary")
+
+    store = SnapshotStore(str(tmp_path / "sr"))
+    # phase 1: no trap_guard, stop after the enqueue wave — the store has
+    # a pending backlog but no trap_state table
+    crawl(spark, pages, cp.seed_search_url(), store,
+          wave_seconds=3600, max_waves=2, n_shards=2, trap_guard=False)
+    assert store.latest_wave("trap_state") is None
+    # phase 2: resume WITH the guard — trap_state is seeded from pending
+    crawl(spark, pages, cp.seed_search_url(), store,
+          wave_seconds=3600, max_waves=8, n_shards=2, trap_guard=True)
+
+    pending = store.read(spark, "frontier") \
+        .filter(F.col("status") == fr.STATUS_PENDING)
+    assert pending.count() == 4  # guard withheld the trap host
+    want = {r["host"]: r.asDict()
+            for r in tp.trap_hosts(pending.select("url")).collect()}
+    got = {r["host"]: r.asDict()
+           for r in store.read(spark, "trap_state").collect()}
+    assert got == want
+
+
 def test_trap_guard_fixpoint_break(spark, tmp_path):
     """A frontier whose every pending host is trap-contained reaches a
     no-progress fixpoint (empty wave delta, no future next_eligible) and the

@@ -627,6 +627,32 @@ def main() -> int:
          "FlatMapCoGroupsInPandas" in p19),
     ])
 
+    # ---- incremental trap state: O(wave) folds, no pending-sized join -----
+    # update_trap_state must merge (state ⊎ added ⊎ −removed) as a UNION +
+    # map-side-partial hash aggregate: feature extraction and the partial
+    # counts happen before the only shuffle (which carries host-keyed
+    # partials, never url rows), and there is no join of delta rows against
+    # the state table (a host-keyed join would be fine at host dimension,
+    # but the union shape is strictly cheaper and what the docstring claims)
+    from s_crawler_spark.operators import traps as tp
+    state_aud = tp.trap_hosts(urls.filter(F.col("doc_id") % 3 == 0)
+                              .select("url"))
+    p20 = plan_of(tp.update_trap_state(
+        state_aud,
+        added=urls.filter(F.col("doc_id") % 3 == 1).select("url"),
+        removed=urls.filter(F.col("doc_id") % 3 == 2).select("url")))
+    exch20 = exchange_inputs(p20)
+    url_in_exch = any(
+        "url" in {c.split("#")[0].strip() for c in s.split(",")}
+        for s in exch20)
+    all_ok &= audit("update_trap_state (incremental trap rollup)", p20, [
+        ("merge is union + aggregate, never a join",
+         "Union" in p20 and "Join" not in p20),
+        ("no Exchange carries url rows (features fold map-side; shuffles "
+         "are host-dimensioned partials only)",
+         bool(exch20) and not url_in_exch),
+    ])
+
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
     return 0 if all_ok else 1
 
