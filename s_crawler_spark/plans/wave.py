@@ -324,12 +324,18 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         if adaptive_delay and store.latest_wave("host_policy") is not None:
             policy_df = store.read(spark, "host_policy")
         if trap_guard:
-            if store.latest_wave("trap_state") is not None:
+            ts_wave = store.latest_wave("trap_state")
+            if ts_wave is not None and ts_wave == store.latest_wave("frontier"):
                 trap_state_df = store.read(spark, "trap_state")
             else:
-                # store predates incremental trap state: seed with ONE
-                # O(pending) scan this process, incremental thereafter
-                # (same seeding pattern as status_counts below)
+                # table absent (store predates incremental trap state),
+                # LAGGING the frontier (guard toggled off for some waves,
+                # whose enqueues/departures were never folded), or a crash
+                # landed between the frontier and trap_state commits of one
+                # wave: the stored counts have drifted from the actual
+                # backlog, so re-seed from the frontier with ONE O(pending)
+                # scan this process — the same crash-window recovery rule
+                # as status_counts below. Incremental thereafter.
                 trap_state_df = tp.update_trap_state(
                     None, added=frontier_df.filter(
                         F.col("status") == fr.STATUS_PENDING))

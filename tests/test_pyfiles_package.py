@@ -34,11 +34,12 @@ def test_zip_is_deterministic_and_importable(tmp_path):
     with open(z1, "rb") as f1, open(z2, "rb") as f2:
         assert f1.read() == f2.read()      # re-pack is byte-identical
 
-    # every module of the package imports from the zip alone
+    # every module of the package imports from the zip alone — pin the
+    # ZIP PATH into __file__ (a path-prefix check against __path__[0] is
+    # tautological for any import source, including a source-tree fallback)
     code = (
         "import pkgutil, importlib, s_crawler_spark\n"
-        "assert s_crawler_spark.__file__.startswith("
-        "s_crawler_spark.__path__[0])\n"
+        f"assert {z1!r} in s_crawler_spark.__file__, s_crawler_spark.__file__\n"
         "mods = [m.name for m in pkgutil.walk_packages("
         "s_crawler_spark.__path__, 's_crawler_spark.')]\n"
         "assert len(mods) > 15, mods\n"

@@ -130,6 +130,52 @@ def test_trap_state_seeded_on_resume_matches_recompute(spark, tmp_path):
     assert got == want
 
 
+def test_trap_state_reseeded_when_lagging_frontier(spark, tmp_path):
+    """A stored trap_state that LAGS the frontier (guard toggled off for
+    some waves, or a crash between the frontier and trap_state commits)
+    has drifted from the actual backlog and must be re-seeded on resume,
+    not read as-is and folded forward."""
+    from pyspark.sql import functions as F
+
+    from s_crawler_spark import corpus as cp
+    from s_crawler_spark.operators import frontier as fr
+    from s_crawler_spark.plans.wave import crawl
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    trap_urls = [f"https://trap.example/{'loop/' * 7}d{i}" for i in range(4)]
+    docs = [dict(doc_id=i, detail_href=u, title=f"Trap doc {i}",
+                 journal="J. Traps", has_journal_span=True,
+                 date_text="01 Jan 2020", authors=["A B"])
+            for i, u in enumerate(trap_urls)]
+    seed_html = cp.render_search_page(
+        1, [cp.render_card(d) for d in docs], has_next=False)
+    pages = spark.createDataFrame(
+        [(cp.seed_search_url(), bytearray(seed_html.encode()))],
+        "url string, html binary")
+
+    store = SnapshotStore(str(tmp_path / "lag"))
+    # phase 1: guard ON — trap_state commits the 4 withheld trap URLs
+    crawl(spark, pages, cp.seed_search_url(), store,
+          wave_seconds=3600, max_waves=8, n_shards=2, trap_guard=True)
+    assert store.read(spark, "trap_state").count() == 1  # trap.example
+    ts_wave_1 = store.latest_wave("trap_state")
+    # phase 2: guard OFF — the trap URLs are admitted, fail (no such
+    # pages), and retire at MAX_ATTEMPTS; trap_state is never touched and
+    # now lags the frontier with 4 phantom pending URLs
+    crawl(spark, pages, cp.seed_search_url(), store,
+          wave_seconds=3600, max_waves=12, n_shards=2, trap_guard=False)
+    pending = store.read(spark, "frontier") \
+        .filter(F.col("status") == fr.STATUS_PENDING)
+    assert pending.count() == 0
+    assert store.latest_wave("trap_state") == ts_wave_1
+    assert store.latest_wave("frontier") > ts_wave_1
+    # phase 3: guard ON again — the lagging state must be re-seeded from
+    # the (now empty) backlog, not folded forward with 4 ghost URLs
+    crawl(spark, pages, cp.seed_search_url(), store,
+          wave_seconds=3600, max_waves=20, n_shards=2, trap_guard=True)
+    assert store.read(spark, "trap_state").count() == 0
+
+
 def test_trap_guard_fixpoint_break(spark, tmp_path):
     """A frontier whose every pending host is trap-contained reaches a
     no-progress fixpoint (empty wave delta, no future next_eligible) and the

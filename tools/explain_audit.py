@@ -637,20 +637,20 @@ def main() -> int:
     from s_crawler_spark.operators import traps as tp
     state_aud = tp.trap_hosts(urls.filter(F.col("doc_id") % 3 == 0)
                               .select("url"))
-    p20 = plan_of(tp.update_trap_state(
+    p21 = plan_of(tp.update_trap_state(
         state_aud,
         added=urls.filter(F.col("doc_id") % 3 == 1).select("url"),
         removed=urls.filter(F.col("doc_id") % 3 == 2).select("url")))
-    exch20 = exchange_inputs(p20)
-    url_in_exch = any(
+    exch21 = exchange_inputs(p21)
+    url_in_exch21 = any(
         "url" in {c.split("#")[0].strip() for c in s.split(",")}
-        for s in exch20)
-    all_ok &= audit("update_trap_state (incremental trap rollup)", p20, [
+        for s in exch21)
+    all_ok &= audit("update_trap_state (incremental trap rollup)", p21, [
         ("merge is union + aggregate, never a join",
-         "Union" in p20 and "Join" not in p20),
+         "Union" in p21 and "Join" not in p21),
         ("no Exchange carries url rows (features fold map-side; shuffles "
          "are host-dimensioned partials only)",
-         bool(exch20) and not url_in_exch),
+         bool(exch21) and not url_in_exch21),
     ])
 
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
