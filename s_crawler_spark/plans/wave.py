@@ -257,7 +257,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     """Run (or resume) a full crawl to completion. Every wave commits
     frontier / seen / seen_shards / articles / fetch_log snapshots; killing
     the driver between waves and calling crawl() again continues from the
-    last committed wave (pytest: tests/test_resume.py).
+    last committed wave (pytest:
+    tests/test_wave_parity.py::test_resume_from_checkpoint).
 
     State commits are O(wave), not O(total): each wave writes only its
     *change set* — status transitions + new enqueues for ``frontier``
@@ -315,6 +316,17 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     # arithmetic per wave, seeded by ONE scan on the first wave of this
     # process — see the fetch_log commit below). Keyed by status string.
     status_counts: dict[str, int] | None = None
+    if not resume and store.latest_wave("frontier") is not None:
+        # starting a FRESH crawl into a used store would re-commit wave 0
+        # while the old store's later-wave snapshots stay newest in the
+        # manifest — every subsequent read would compose the STALE state
+        # over the new wave's. Idempotent re-commit is for re-running the
+        # latest (crashed) wave via resume=True, never for restarting;
+        # a fresh crawl needs a fresh store root.
+        raise ValueError(
+            "resume=False on a store with committed waves would interleave "
+            "new snapshots under stale ones; use a fresh store root "
+            "(or resume=True to continue)")
     if resume and store.latest_wave("frontier") is not None:
         start_wave = store.latest_wave("frontier") + 1
         frontier_df = store.read(spark, "frontier")

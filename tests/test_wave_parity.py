@@ -86,6 +86,19 @@ def test_resume_from_checkpoint(spark, pages, pages_dict, tmp_path):
     assert_parity(cat.collect(), sim)
 
 
+def test_fresh_crawl_into_used_store_raises(spark, pages, tmp_path):
+    """resume=False over a store with committed waves must refuse: wave 0
+    would re-commit under the old store's LATER snapshots, and every
+    merge-on-read would compose the stale state over the new wave's."""
+    store = SnapshotStore(str(tmp_path / "dirty"))
+    crawl(spark, pages, seed_search_url(), store,
+          wave_seconds=100, max_waves=2, n_shards=4)
+    assert store.latest_wave("frontier") is not None
+    with pytest.raises(ValueError, match="fresh store root"):
+        crawl(spark, pages, seed_search_url(), store,
+              wave_seconds=100, max_waves=2, n_shards=4, resume=False)
+
+
 def test_crawl_idempotent_rerun(spark, pages, pages_dict, tmp_path):
     store = SnapshotStore(str(tmp_path / "idem"))
     cat1 = crawl(spark, pages, seed_search_url(), store, wave_seconds=3600,
