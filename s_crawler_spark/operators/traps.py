@@ -21,8 +21,11 @@ stage; the rollup is one groupBy(host) of small int partial aggregates.
 rollup *incrementally* (``update_trap_state``): the counts are summable and
 each feature is a pure function of the URL string, so per-wave maintenance
 folds only the wave's enqueued/departed rows — O(wave) extraction + a
-host-dimensioned aggregate, never a pending-sized scan. Containment stays a
-filter: anti-join ``is_trap = 1`` hosts out of compose_wave's pending set.
+host-dimensioned aggregate, never a pending-sized scan — and the
+``touched_only=True`` form narrows both the fold and the per-wave commit to
+the hosts the wave actually touched (keyed delta + tombstones in the store).
+Containment stays a filter: anti-join ``is_trap = 1`` hosts out of
+compose_wave's pending set.
 """
 
 from __future__ import annotations
@@ -103,10 +106,14 @@ def host_trap_counts(urls: DataFrame, url_col: str = "url",
 
 
 def _flag(counts: DataFrame, ratio_bp: int) -> DataFrame:
+    # CASE guards the integer div (ANSI): a drained host's n_urls = 0 row
+    # (retained as a delete marker by the touched_only fold) flags 0
     return counts.withColumn(
         "is_trap",
-        (F.expr("n_suspicious * 10000 div n_urls")
-         >= F.lit(ratio_bp)).cast("int"))
+        F.when(F.col("n_urls") > 0,
+               (F.expr("n_suspicious * 10000 div n_urls")
+                >= F.lit(ratio_bp)).cast("int"))
+        .otherwise(F.lit(0)))
 
 
 def trap_hosts(urls: DataFrame, url_col: str = "url",
@@ -129,7 +136,8 @@ def update_trap_state(state: DataFrame | None,
                       depth_threshold: int = DEPTH_THRESHOLD,
                       repeat_threshold: int = REPEAT_THRESHOLD,
                       query_threshold: int = QUERY_THRESHOLD,
-                      ratio_bp: int = TRAP_RATIO_BP) -> DataFrame:
+                      ratio_bp: int = TRAP_RATIO_BP,
+                      touched_only: bool = False) -> DataFrame:
     """Incremental trap-state maintenance — the O(wave) form of
     ``trap_hosts(all_pending)``.
 
@@ -141,15 +149,44 @@ def update_trap_state(state: DataFrame | None,
     groupBy over host-dimensioned partials — never a pending-sized scan or
     shuffle. Hosts whose backlog drains to zero drop out of the state
     (re-adding later restarts them from zero, exactly).
+
+    ``touched_only=True`` is the keyed-delta commit form: it returns ONLY
+    the rows of hosts touched by this fold's added/removed URLs — the prior
+    state is PRUNED to those hosts with a broadcast semi-join (the
+    host-dimensioned state is scanned past a wave-sized key set, never
+    shuffled), so both the fold and the resulting commit are O(touched
+    hosts), not O(all hosts ever pending). Untouched hosts' rows are
+    carried forward unread by the store manifest. Hosts whose counts
+    cancel to zero are RETAINED here (``n_urls = 0``, ``is_trap = 0``) as
+    MERGE delete markers — commit with
+    ``store.commit(..., mode='delta', key=['host'],
+    delete_where='n_urls = 0')`` and the composed read drops them, which
+    reproduces the default form's drop-out semantics exactly.
     """
-    parts = []
-    if state is not None:
-        parts.append(state.select("host", *[F.col(c) for c in _COUNT_COLS]))
+    partials = []
     for urls, weight in ((added, 1), (removed, -1)):
         if urls is not None:
-            parts.append(host_trap_counts(
+            partials.append(host_trap_counts(
                 urls, url_col, depth_threshold, repeat_threshold,
                 query_threshold, weight=weight))
+    if touched_only:
+        if not partials:
+            raise ValueError(
+                "touched_only fold needs added or removed URLs (its output "
+                "scope IS the touched-host set)")
+        delta = partials[0]
+        for p in partials[1:]:
+            delta = delta.unionByName(p)
+        if state is not None:
+            pruned = (state.select("host", *[F.col(c) for c in _COUNT_COLS])
+                      .join(F.broadcast(delta.select("host")),
+                            on="host", how="left_semi"))
+            delta = pruned.unionByName(delta)
+        summed = delta.groupBy("host").agg(
+            *[F.sum(c).alias(c) for c in _COUNT_COLS])
+        return _flag(summed, ratio_bp)
+    parts = ([state.select("host", *[F.col(c) for c in _COUNT_COLS])]
+             if state is not None else []) + partials
     if not parts:
         raise ValueError("update_trap_state needs state, added, or removed")
     merged = parts[0]

@@ -264,8 +264,11 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     *change set* — status transitions + new enqueues for ``frontier``
     (keyed delta on url_hash, the Iceberg MERGE shape and the reference's
     per-row UPDATE sink, src/database_manager.py:105-131), appended rows
-    for ``articles``/``seen``/``candidates``, and only the *touched* filter
-    shards (keyed delta on shard_id; operators/seen.update_shards). Reads
+    for ``articles``/``seen``/``candidates``, only the *touched* filter
+    shards (keyed delta on shard_id; operators/seen.update_shards), and —
+    for the host-dimensioned control-loop state — only the hosts the wave
+    touched (``host_policy``/``trap_state``: keyed delta on host; drained
+    trap hosts ride along as tombstone rows, store delete_where). Reads
     compose base ⊕ deltas merge-on-read (sources/store.py). Every
     ``compact_every``-th wave commits full snapshots instead (compaction —
     bounds the delta chain read cost); ``compact_every=1`` forces the
@@ -292,11 +295,12 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     fetch doubles its crawl delay and an all-success host decays to 3/4.
     The adapted policy is wave state — committed as a ``host_policy``
     snapshot and restored on resume, so a killed-and-resumed crawl keeps
-    its learned delays. The final article SET is unchanged (seq is
-    assigned at discovery and survives any admission order); only the
-    per-wave admission pacing shifts. Off by default: the reference-parity
-    contract (same politeness budget ⇒ same crawl order) is the
-    non-adaptive mode.
+    its learned delays; non-compaction waves commit only the adapted rows
+    (hosts with outcomes) as a keyed delta. The final article SET is
+    unchanged (seq is assigned at discovery and survives any admission
+    order); only the per-wave admission pacing shifts. Off by default: the
+    reference-parity contract (same politeness budget ⇒ same crawl order)
+    is the non-adaptive mode.
 
     ``trap_guard=True`` withholds this wave's admission from hosts whose
     pending-backlog URL shapes trip the spider-trap heuristics
@@ -304,14 +308,21 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     host set; a no-op on corpora without trap-shaped URL spaces. The
     per-host rollup is committed wave state (``trap_state``), maintained
     incrementally from the wave's enqueues/departures (O(wave) feature
-    extraction, host-dimensioned aggregate — never a pending-sized scan);
-    a resume from a store without the table re-seeds it with one scan.
+    extraction, touched-host fold and commit — never a pending-sized scan
+    or an all-hosts rewrite); a resume from a store without the table
+    re-seeds it with one scan (and the next commit is full, re-anchoring
+    the delta chain).
 
     Returns the final articles catalog in crawl order.
     """
     start_wave = 0
     frontier_df = catalog = seen_df = cand_store = policy_df = None
     trap_state_df = None  # per-host pending-backlog trap counts (trap_guard)
+    # False until the STORED trap_state table matches trap_state_df (fresh
+    # table, or a re-seed recomputed the counts in memory): the next commit
+    # must then be a full snapshot — a keyed delta would compose over a
+    # stale/absent base. True after every commit and on an in-sync resume.
+    trap_base_ok = False
     # per-status frontier row counts, maintained incrementally (O(wave)
     # arithmetic per wave, seeded by ONE scan on the first wave of this
     # process — see the fetch_log commit below). Keyed by status string.
@@ -339,6 +350,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             ts_wave = store.latest_wave("trap_state")
             if ts_wave is not None and ts_wave == store.latest_wave("frontier"):
                 trap_state_df = store.read(spark, "trap_state")
+                trap_base_ok = True
             else:
                 # table absent (store predates incremental trap state),
                 # LAGGING the frontier (guard toggled off for some waves,
@@ -430,21 +442,28 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
 
         # --- politeness-budgeted wave composition + skew salting ---
         pending = fr.eligible_pending(frontier_all, logical_now)
-        pre_trap = None
         if trap_guard:
             # spider-trap containment as an admission filter: hosts whose
             # pending URL shapes trip the trap heuristics stop consuming
             # budget this wave (operators/traps.py; rows stay pending, so
             # a host that recovers is re-admitted automatically). The
-            # rollup is maintained INCREMENTALLY: fold this wave's
-            # enqueues into the committed per-host counts now, fold the
-            # departures out after the outcomes land — feature extraction
-            # touches only O(wave) rows, never the pending backlog.
-            # checkpointed: two consumers (flag now, departure fold below)
-            pre_trap = tp.update_trap_state(
-                trap_state_df, added=new_frontier_rows) \
+            # rollup is maintained INCREMENTALLY and at TOUCHED-HOST scope:
+            # fold this wave's enqueues onto only the hosts they touch
+            # (state pruned by a broadcast semi-join — scanned, never
+            # shuffled), then flag = re-flagged touched hosts ∪ the prior
+            # state's still-untouched flags. Feature extraction touches
+            # only O(wave) rows, the fold only O(touched-host) rows.
+            # checkpointed: two consumers (flag rows + touched-host key set)
+            pre_touched = tp.update_trap_state(
+                trap_state_df, added=new_frontier_rows, touched_only=True) \
                 .localCheckpoint(eager=False)
-            flagged = pre_trap.filter(F.col("is_trap") == 1).select("host")
+            flagged = pre_touched.filter(F.col("is_trap") == 1).select("host")
+            if trap_state_df is not None:
+                flagged = (trap_state_df.filter(F.col("is_trap") == 1)
+                           .select("host")
+                           .join(F.broadcast(pre_touched.select("host")),
+                                 on="host", how="left_anti")
+                           .unionByName(flagged))
             # host-dimensioned build side: broadcast so the O(pending) left
             # never sort-merge-shuffles past the auto-broadcast threshold
             pending = pending.join(F.broadcast(flagged), on="host",
@@ -516,10 +535,11 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         phase_ms: list[tuple[int, str, int]] = []
 
         def commit_timed(df, name, mode="full", key=None, partition_by=None,
-                         meta=None):
+                         meta=None, delete_where=None):
             t0 = time.perf_counter()
             store.commit(df, name, wave, mode=mode, key=key,
-                         partition_by=partition_by, meta=meta)
+                         partition_by=partition_by, meta=meta,
+                         delete_where=delete_where)
             phase_ms.append((wave, name, int((time.perf_counter() - t0) * 1000)))
 
         seen_all = (seen_delta if seen_df is None
@@ -607,24 +627,50 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         commit_timed(lineage.withColumn("wave", F.lit(wave)), "lineage")
         if adaptive_delay:
             # AIMD politeness update from this wave's per-host outcomes;
-            # committed as wave state so resume keeps the learned delays
-            # (full mode: the policy is host-dimensioned, never frontier-sized)
+            # committed as wave state so resume keeps the learned delays.
+            # Only hosts WITH an outcome can change their delay, so the
+            # non-compaction commit is a keyed delta of exactly those rows
+            # (policy pruned by a broadcast semi-join on the wave's hosts —
+            # the host dimension is scanned, never shuffled or rewritten).
+            # Hosts first seen this wave without an outcome re-derive the
+            # same default row next wave, so not persisting them is exact.
+            # Compaction waves commit the full policy (incl. robots rows).
             host_results = fetched.select(
                 scalars.url_host(F.col("url")).alias("host"),
                 F.col("downloaded").alias("success"))
-            commit_timed(po.adapt_host_policy(policy, host_results),
-                         "host_policy")
+            if is_full or store.latest_wave("host_policy") is None:
+                commit_timed(po.adapt_host_policy(policy, host_results),
+                             "host_policy")
+            else:
+                touched = policy.join(
+                    F.broadcast(host_results.select("host").distinct()),
+                    on="host", how="left_semi")
+                commit_timed(po.adapt_host_policy(touched, host_results),
+                             "host_policy", mode="delta", key=["host"])
             policy_df = store.read(spark, "host_policy")
         if trap_guard:
-            # fold this wave's pending-set departures (done/retired rows —
-            # retried rows stay pending and stay counted) out of the trap
-            # counts; committed wave state, host-dimensioned like
-            # host_policy, restored on resume
-            commit_timed(tp.update_trap_state(
-                pre_trap,
-                removed=frontier_delta.filter(
-                    F.col("status") != fr.STATUS_PENDING).select("url")),
-                "trap_state")
+            # fold this wave's enqueues in and its pending-set departures
+            # (done/retired rows — retried rows stay pending and stay
+            # counted) out of the trap counts. Committed wave state,
+            # restored on resume; on non-compaction waves the commit is a
+            # keyed delta of ONLY the touched hosts — drained hosts ride
+            # along as n_urls = 0 tombstones (MERGE ... THEN DELETE), so
+            # the composed read drops them exactly like the full form.
+            # Full on compaction waves and whenever the stored base can't
+            # anchor a delta (fresh table / re-seeded state).
+            departed = frontier_delta.filter(
+                F.col("status") != fr.STATUS_PENDING).select("url")
+            if is_full or not trap_base_ok:
+                commit_timed(tp.update_trap_state(
+                    trap_state_df, added=new_frontier_rows, removed=departed),
+                    "trap_state")
+            else:
+                commit_timed(tp.update_trap_state(
+                    trap_state_df, added=new_frontier_rows, removed=departed,
+                    touched_only=True),
+                    "trap_state", mode="delta", key=["host"],
+                    delete_where="n_urls = 0")
+            trap_base_ok = True
             trap_state_df = store.read(spark, "trap_state")
         store.commit(
             spark.createDataFrame(phase_ms, "wave int, phase string, ms long"),

@@ -12,6 +12,16 @@ calls a cluster deployment would use:
                          key=['url_hash'])  ⇔  MERGE INTO tbl USING df ON key
                                                (merge-on-read: equality-delete
                                                + data files, no base rewrite)
+    SnapshotStore.commit(..., mode='delta',
+                         key=['host'],
+                         delete_where='n_urls = 0')
+                                            ⇔  MERGE INTO tbl USING df ON key
+                                               WHEN MATCHED AND n_urls = 0
+                                               THEN DELETE — a delta row
+                                               matching the predicate is a
+                                               tombstone: it shadows every
+                                               earlier row with its key and
+                                               then drops out itself
     SnapshotStore.read(table)               ⇔  spark.read.format('iceberg').load(tbl)
     SnapshotStore.read(table, snapshot=k)   ⇔  ...option('snapshot-id', k)  (time travel)
     SnapshotStore.read(table, as_of_wave=w) ⇔  time travel by wave metadata
@@ -88,7 +98,8 @@ class SnapshotStore:
                meta: dict | None = None,
                mode: str = "full",
                key: list[str] | None = None,
-               partition_by: list[str] | None = None) -> int:
+               partition_by: list[str] | None = None,
+               delete_where: str | None = None) -> int:
         """Write df as the table's next snapshot; returns snapshot id.
         Re-committing the same wave overwrites its snapshot (idempotent
         re-run of a failed wave).
@@ -98,6 +109,15 @@ class SnapshotStore:
         ``key=None`` appends them on read; ``key=[cols]`` upserts them
         (a delta row replaces any earlier row with the same key; within one
         delta, keys are expected unique). O(wave) write, merge-on-read.
+
+        ``delete_where`` (keyed deltas only): a SQL predicate over the
+        delta's own columns marking tombstone rows — the Iceberg
+        ``MERGE ... WHEN MATCHED AND <pred> THEN DELETE`` analogue. A
+        matching row still shadows every earlier row with its key, then
+        drops out of the composed read itself, so a key can be *removed*
+        in O(changed rows) without rewriting the base (a later delta may
+        re-add it). Evaluated against each delta's surviving rows only —
+        rows a newer delta already shadows are unaffected.
 
         ``partition_by`` hive-partitions the snapshot files (⇔ Iceberg
         ``PARTITIONED BY``): a reader filtering on those columns prunes
@@ -111,6 +131,10 @@ class SnapshotStore:
             raise ValueError(f"mode must be 'full' or 'delta', got {mode!r}")
         if key is not None and mode != "delta":
             raise ValueError("key is only meaningful with mode='delta'")
+        if delete_where is not None and key is None:
+            raise ValueError("delete_where needs a keyed delta (mode='delta', "
+                             "key=[...]): a tombstone identifies its victim "
+                             "rows by MERGE key")
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
         manifest = self._load_manifest(table)
@@ -135,6 +159,8 @@ class SnapshotStore:
                  "meta": meta or {}}
         if key is not None:
             entry["key"] = list(key)
+        if delete_where is not None:
+            entry["delete_where"] = delete_where
         if partition_by:
             entry["partition_by"] = list(partition_by)
         manifest["snapshots"] = [s for s in manifest["snapshots"] if s["wave"] != wave]
@@ -145,9 +171,11 @@ class SnapshotStore:
 
     def commit_delta(self, df: DataFrame, table: str, wave: int,
                      key: list[str] | None = None,
-                     meta: dict | None = None) -> int:
+                     meta: dict | None = None,
+                     delete_where: str | None = None) -> int:
         """Sugar for ``commit(..., mode='delta', key=key)``."""
-        return self.commit(df, table, wave, meta=meta, mode="delta", key=key)
+        return self.commit(df, table, wave, meta=meta, mode="delta", key=key,
+                           delete_where=delete_where)
 
     @staticmethod
     def _compose(spark: SparkSession, snaps: list[dict]) -> DataFrame:
@@ -158,7 +186,13 @@ class SnapshotStore:
           same key — in the base, in earlier keyed deltas, AND in earlier
           append deltas;
         - an append delta's rows simply accumulate (they may duplicate an
-          existing key) until a later keyed delta touches that key.
+          existing key) until a later keyed delta touches that key;
+        - a keyed delta row matching its commit's ``delete_where`` is a
+          tombstone: it shadows like any upsert, then drops out itself —
+          applied AFTER shadowing (only a key's newest surviving version
+          can be a deletion; a later re-add of the key wins over it),
+          while the base anti-join key set is taken BEFORE the tombstones
+          drop (so a tombstone still removes its base row).
 
         A single chain must not mix different key column lists (one MERGE
         key per table, as in Iceberg) — raises ValueError if it does.
@@ -210,6 +244,15 @@ class SnapshotStore:
                   .drop("__last", "__rn"))
             upserted = (du.filter(F.col("__keyed")).select(*key).distinct())
             base = base.join(upserted, on=key, how="left_anti")
+            for i, s in enumerate(deltas, start=1):
+                pred = s.get("delete_where")
+                if pred:
+                    # tombstones: drop delta i's surviving rows matching its
+                    # predicate (null-safe — a null predicate value deletes
+                    # nothing). Rows of other deltas pass untouched.
+                    du = du.filter(
+                        (F.col("__ord") != F.lit(i))
+                        | ~F.coalesce(F.expr(pred), F.lit(False)))
         return base.unionByName(du.drop("__ord", "__keyed"))
 
     def read(self, spark: SparkSession, table: str,

@@ -135,6 +135,36 @@ def test_mode_key_validation(spark, tmp_path):
         st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", 0, mode="merge")
     with pytest.raises(ValueError):
         st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", 0, key=["k"])
+    with pytest.raises(ValueError, match="delete_where"):
+        st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", 0, mode="delta",
+                  delete_where="v = 'DEL'")
+
+
+def test_delete_where_tombstone_removes_key_and_readd_revives(spark, tmp_path):
+    """MERGE ... WHEN MATCHED AND <pred> THEN DELETE: a keyed delta row
+    matching its commit's delete_where removes its key from the composed
+    read (base row included) in O(changed rows); a LATER keyed delta can
+    re-add the key; time travel before the re-add still sees the
+    deletion. Non-matching rows in the same delta upsert normally."""
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}, {"k": 2, "v": "b"},
+                          {"k": 3, "v": "c"}]), "t", wave=0)
+    # one delta mixing a tombstone (k=1), an update (k=2) and an insert (k=4)
+    st.commit_delta(_df(spark, [{"k": 1, "v": "DEL"}, {"k": 2, "v": "b1"},
+                                {"k": 4, "v": "d"}]),
+                    "t", wave=1, key=["k"], delete_where="v = 'DEL'")
+    assert _state(spark, st, "t") == [(2, "b1"), (3, "c"), (4, "d")]
+    # delete a key that exists only in an earlier DELTA, not the base
+    st.commit_delta(_df(spark, [{"k": 4, "v": "DEL"}]),
+                    "t", wave=2, key=["k"], delete_where="v = 'DEL'")
+    assert _state(spark, st, "t") == [(2, "b1"), (3, "c")]
+    # re-add a deleted key: the newer upsert wins over the tombstone
+    st.commit_delta(_df(spark, [{"k": 1, "v": "back"}]), "t", wave=3,
+                    key=["k"])
+    assert _state(spark, st, "t") == [(1, "back"), (2, "b1"), (3, "c")]
+    assert _state(spark, st, "t", as_of_wave=2) == [(2, "b1"), (3, "c")]
+    assert _state(spark, st, "t", as_of_wave=1) == [(2, "b1"), (3, "c"),
+                                                    (4, "d")]
 
 
 def test_partitioned_full_commit_composes_and_prunes(spark, tmp_path):
@@ -166,13 +196,15 @@ def test_partitioned_full_commit_composes_and_prunes(spark, tmp_path):
 
 
 def test_randomized_commit_sequences_match_fold_oracle(spark, tmp_path):
-    """Seeded randomized sequences of full / append-delta / keyed-delta
-    commits, interleaved with expiry, always compose to the same state as
-    a plain per-delta fold over a row MULTISET — appends may collide with
-    existing keys (the rows coexist), and an upsert removes EVERY earlier
-    row with its key, appended duplicates included. The MERGE-on-read
-    semantics hold under arbitrary commit orders and mode mixes, not just
-    the crawl loop's mode-homogeneous pattern."""
+    """Seeded randomized sequences of full / append-delta / keyed-delta /
+    tombstone commits, interleaved with expiry, always compose to the same
+    state as a plain per-delta fold over a row MULTISET — appends may
+    collide with existing keys (the rows coexist), an upsert removes EVERY
+    earlier row with its key (appended duplicates included), and a
+    delete_where tombstone removes its key outright until a later delta
+    re-adds it. The MERGE-on-read semantics hold under arbitrary commit
+    orders and mode mixes, not just the crawl loop's mode-homogeneous
+    pattern."""
     import random
 
     rng = random.Random(20260818)
@@ -182,7 +214,8 @@ def test_randomized_commit_sequences_match_fold_oracle(spark, tmp_path):
         n_waves = rng.randint(3, 7)
         for wave in range(n_waves):
             kind = ("full" if wave == 0 else
-                    rng.choice(["full", "delta_append", "delta_upsert"]))
+                    rng.choice(["full", "delta_append", "delta_upsert",
+                                "delta_delete"]))
             if kind == "full":
                 # full snapshots rewrite complete state
                 oracle = [(rng.randint(0, 20), f"w{wave}.{i}")
@@ -196,13 +229,30 @@ def test_randomized_commit_sequences_match_fold_oracle(spark, tmp_path):
                         for i in range(rng.randint(1, 3))]
                 oracle.extend((r["k"], r["v"]) for r in rows)
                 st.commit_delta(_df(spark, rows), "t", wave=wave)
-            else:
+            elif kind == "delta_upsert":
                 live = sorted({k for k, _ in oracle}) or [0]
                 ks = set(rng.sample(live, min(len(live), rng.randint(1, 3))))
                 rows = [{"k": k, "v": f"u{wave}.{k}"} for k in sorted(ks)]
                 oracle = ([kv for kv in oracle if kv[0] not in ks]
                           + [(r["k"], r["v"]) for r in rows])
                 st.commit_delta(_df(spark, rows), "t", wave=wave, key=["k"])
+            else:
+                # one keyed delta mixing tombstones (v matches the
+                # predicate) with plain upsert rows on other keys; a
+                # tombstone may also target a key that does not exist
+                # (a MERGE with no match — must be a no-op)
+                live = sorted({k for k, _ in oracle}) or [0]
+                dks = set(rng.sample(live, min(len(live), rng.randint(1, 2))))
+                if rng.random() < 0.3:
+                    dks.add(77)  # never-live key: deleting it is a no-op
+                uks = {rng.randint(0, 25) for _ in range(rng.randint(0, 2))} \
+                    - dks
+                rows = ([{"k": k, "v": "DEL"} for k in sorted(dks)]
+                        + [{"k": k, "v": f"u{wave}.{k}"} for k in sorted(uks)])
+                oracle = ([kv for kv in oracle if kv[0] not in dks | uks]
+                          + [(k, f"u{wave}.{k}") for k in sorted(uks)])
+                st.commit_delta(_df(spark, rows), "t", wave=wave, key=["k"],
+                                delete_where="v = 'DEL'")
             if rng.random() < 0.3:
                 st.expire_snapshots("t", keep=rng.randint(1, 2))
             got = sorted((r["k"], r["v"])

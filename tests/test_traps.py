@@ -73,6 +73,64 @@ def test_trap_guard_noop_on_clean_corpus(spark, pages, pages_dict, tmp_path):
     assert_parity(cat.collect(), sim)
 
 
+def test_update_trap_state_touched_only_matches_recompute(spark):
+    """touched_only folds return EXACTLY the touched hosts' rows: values
+    equal to a one-shot recompute over the live backlog for hosts still
+    holding URLs, an n_urls = 0 tombstone for a fully drained host, and no
+    row at all for untouched hosts (the store carries them forward)."""
+    def mk(urls):
+        return spark.createDataFrame([(u,) for u in urls], "url string")
+
+    a_urls = ["https://a.org/x/y", "https://a.org/" + "loop/" * 7 + "z"]
+    b_urls = ["https://b.org/1", "https://b.org/2"]
+    c_urls = ["https://c.org/only"]
+    state = tp.trap_hosts(mk(a_urls + b_urls + c_urls))
+    b_new = ["https://b.org/" + "r/" * 8 + "t"]
+    d_new = ["https://d.org/fresh"]
+    got = {r["host"]: r.asDict() for r in tp.update_trap_state(
+        state, added=mk(b_new + d_new), removed=mk(c_urls),
+        touched_only=True).collect()}
+    assert set(got) == {"b.org", "c.org", "d.org"}  # a.org untouched: absent
+    drained = got["c.org"]
+    assert (drained["n_urls"], drained["n_suspicious"],
+            drained["is_trap"]) == (0, 0, 0)
+    live = {r["host"]: r.asDict()
+            for r in tp.trap_hosts(mk(a_urls + b_urls + b_new
+                                      + d_new)).collect()}
+    assert got["b.org"] == live["b.org"]
+    assert got["d.org"] == live["d.org"]
+
+
+def test_trap_state_delta_commits_touch_only_wave_hosts(spark, pages,
+                                                        tmp_path):
+    """Non-compaction waves commit trap_state as a keyed-host delta with
+    n_urls = 0 tombstones: wave 0 is the full base, each delta's hosts are
+    a subset of that wave's frontier-delta hosts (the wave's enqueues and
+    departures — never the whole host dimension), and the composed read
+    still drains to empty when the crawl completes."""
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.plans.wave import crawl
+    from s_crawler_spark.sources.store import SnapshotStore
+    store = SnapshotStore(str(tmp_path / "td"))
+    crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+          max_waves=30, n_shards=4, trap_guard=True)
+    snaps = store.snapshots("trap_state")
+    assert snaps[0]["mode"] == "full"
+    deltas = [s for s in snaps if s["mode"] == "delta"]
+    assert deltas, "expected delta trap_state commits on non-compaction waves"
+    assert all(s["key"] == ["host"]
+               and s["delete_where"] == "n_urls = 0" for s in deltas)
+    for s in deltas:
+        raw_hosts = {r["host"] for r in
+                     store.read_snapshot_raw(spark, "trap_state",
+                                             s["wave"]).collect()}
+        wave_hosts = {r["host"] for r in
+                      store.read_snapshot_raw(spark, "frontier",
+                                              s["wave"]).collect()}
+        assert raw_hosts <= wave_hosts, s["wave"]
+    assert store.read(spark, "trap_state").count() == 0
+
+
 def test_trap_state_drains_to_empty_on_completion(spark, pages, pages_dict,
                                                   tmp_path):
     """The committed trap_state is maintained by exact integer folds

@@ -241,6 +241,44 @@ def test_adaptive_delay_crawl(spark, pages, pages_dict, tmp_path):
     assert all(pol_end[h] <= d for h, d in pol_mid.items() if h in pol_end)
 
 
+def test_adaptive_policy_delta_commits_are_outcome_hosts(spark, pages,
+                                                         pages_dict, tmp_path):
+    """Non-compaction waves commit host_policy as a keyed-host delta of
+    EXACTLY the hosts with fetch outcomes that wave (only they can change
+    delay; untouched hosts ride the manifest), and the composed policy
+    equals the legacy all-full commits' policy wave for wave."""
+    from pyspark.sql import functions as F
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "pd"))
+    cat = crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+                max_waves=30, n_shards=4, adaptive_delay=True)
+    assert_parity(cat.collect(), sim)
+    snaps = store.snapshots("host_policy")
+    assert snaps[0]["mode"] == "full"
+    deltas = [s for s in snaps if s["mode"] == "delta"]
+    assert deltas, "expected delta host_policy commits on non-compaction waves"
+    assert all(s["key"] == ["host"] for s in deltas)
+    for s in deltas:
+        pol_hosts = {r["host"] for r in
+                     store.read_snapshot_raw(spark, "host_policy",
+                                             s["wave"]).collect()}
+        fraw = store.read_snapshot_raw(spark, "frontier", s["wave"])
+        # outcome rows = frontier-delta rows that are not pure enqueues
+        outcome_hosts = {r["host"] for r in fraw.filter(
+            ~((F.col("status") == "pending") & (F.col("attempts") == 0))
+        ).collect()}
+        assert pol_hosts == outcome_hosts, s["wave"]
+    # legacy all-full run produces the identical final policy
+    store2 = SnapshotStore(str(tmp_path / "pf"))
+    crawl(spark, pages, seed_search_url(), store2, wave_seconds=100,
+          max_waves=30, n_shards=4, adaptive_delay=True, compact_every=1)
+    pol_delta = {(r["host"], r["crawl_delay_ms"])
+                 for r in store.read(spark, "host_policy").collect()}
+    pol_full = {(r["host"], r["crawl_delay_ms"])
+                for r in store2.read(spark, "host_policy").collect()}
+    assert pol_delta == pol_full
+
+
 def test_snapshot_expiry_bounds_storage_and_resumes(spark, pages, pages_dict,
                                                     tmp_path):
     """expire_keep bounds every state table to `keep` snapshots while the

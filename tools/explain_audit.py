@@ -653,6 +653,29 @@ def main() -> int:
          bool(exch21) and not url_in_exch21),
     ])
 
+    # ---- touched-only trap fold: the keyed-delta commit form --------------
+    # the prior state must enter through a broadcast LEFT-SEMI prune on the
+    # wave's touched hosts (the host dimension is scanned past a wave-sized
+    # key set — at 10^8 hosts a sort-merge or full-state shuffle here would
+    # put the whole dimension back on the wire every wave), and url rows
+    # still never reach an Exchange
+    p22 = plan_of(tp.update_trap_state(
+        state_aud,
+        added=urls.filter(F.col("doc_id") % 3 == 1).select("url"),
+        removed=urls.filter(F.col("doc_id") % 3 == 2).select("url"),
+        touched_only=True))
+    exch22 = exchange_inputs(p22)
+    url_in_exch22 = any(
+        "url" in {c.split("#")[0].strip() for c in s.split(",")}
+        for s in exch22)
+    all_ok &= audit("update_trap_state touched_only (delta-commit fold)", p22, [
+        ("state pruned by a broadcast semi-join, never sort-merged",
+         "BroadcastHashJoin" in p22 and "LeftSemi" in p22
+         and "SortMergeJoin" not in p22),
+        ("no Exchange carries url rows",
+         bool(exch22) and not url_in_exch22),
+    ])
+
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
     return 0 if all_ok else 1
 
