@@ -7,6 +7,10 @@ pdf_downloader.py:49-99). Schema (FIXTURES.md §2):
     frontier(url, url_hash, host, priority, wave, seq, status,
              attempts, last_error, next_eligible, discovered_at)
 
+(the crawl loop adds ``robots_ok`` at enqueue — the robots admission
+decision evaluated once per URL and stored, politeness.decorate_robots_ok;
+``enqueue`` itself stays policy-free.)
+
 Design decisions for 10^10-URL scale:
 
 - ``seq`` is a *monotone composite key*, not a global row_number: a global

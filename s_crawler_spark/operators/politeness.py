@@ -92,7 +92,8 @@ def robots_allowed(url_col, disallow_col, allow_col=None):
 
 def compose_wave(pending: DataFrame, host_policy: DataFrame,
                  wave_seconds: int,
-                 host_budget: DataFrame | None = None) -> DataFrame:
+                 host_budget: DataFrame | None = None,
+                 robots_col: str | None = None) -> DataFrame:
     """Select this wave's fetch set under per-host politeness budgets.
 
     Per host: admit the first ``floor(wave_seconds*1000 / crawl_delay_ms)``
@@ -103,6 +104,16 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     apportion_budget) caps admission at min(allocated, delay-derived)
     per host — capacity allocation tightens politeness, never loosens it;
     hosts absent from it are admitted nowhere this wave.
+
+    ``robots_col`` names a precomputed boolean column on ``pending``
+    carrying the robots decision (the crawl loop evaluates it ONCE per URL
+    at enqueue and stores it on the frontier row). With it set, the policy
+    join carries only (host, crawl_delay_ms) and admission filters on the
+    stored bit — the per-wave O(pending) scan does no rule-array
+    decoration and no per-row prefix fold. Robots rules are static within
+    a crawl (parsed once from the corpus), so the stored bit equals the
+    fold's value exactly. Default None = evaluate robots here (the
+    standalone / contract-query form).
 
     Scale notes: the policy join is an explicit broadcast, and admission is
     a TWO-PHASE bounded top-k. A single per-host window would sort ALL of
@@ -118,7 +129,9 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     subsequent fetch stage re-spreads rows via frontier.salt_partitions, so
     no task inherits a whole host.
     """
-    joined = pending.join(F.broadcast(host_policy), on="host", how="left")
+    pol = (host_policy if robots_col is None
+           else host_policy.select("host", "crawl_delay_ms"))
+    joined = pending.join(F.broadcast(pol), on="host", how="left")
     joined = joined.withColumn(
         "crawl_delay_ms",
         F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)))
@@ -136,11 +149,16 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
             .withColumn("host_budget",
                         F.least(F.coalesce(F.col("host_budget"), F.lit(0)),
                                 delay_budget))
-    allowed = joined.filter(
-        F.col("robots_disallow").isNull()
-        | robots_allowed(F.col("url"), F.col("robots_disallow"),
-                         F.coalesce(F.col("robots_allow"),
-                                    F.array().cast("array<string>"))))
+    if robots_col is not None:
+        allowed = joined.filter(F.col(robots_col))
+        drop_extra = []
+    else:
+        allowed = joined.filter(
+            F.col("robots_disallow").isNull()
+            | robots_allowed(F.col("url"), F.col("robots_disallow"),
+                             F.coalesce(F.col("robots_allow"),
+                                        F.array().cast("array<string>"))))
+        drop_extra = ["robots_disallow", "robots_allow", "user_agent"]
     lw = Window.partitionBy("host", "__pid").orderBy("priority", "seq")
     pruned = (allowed.withColumn("__pid", F.spark_partition_id())
               .withColumn("__lrank", F.row_number().over(lw))
@@ -150,9 +168,29 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     return (
         pruned.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= F.col("host_budget"))
-        .drop("__rank", "host_budget", "crawl_delay_ms",
-              "robots_disallow", "robots_allow", "user_agent")
+        .drop("__rank", "host_budget", "crawl_delay_ms", *drop_extra)
     )
+
+
+def decorate_robots_ok(rows: DataFrame, rules: DataFrame,
+                       out_col: str = "robots_ok") -> DataFrame:
+    """Evaluate the robots decision ONCE per row and store it as a boolean
+    column — the enqueue-time form of compose_wave's admission predicate
+    (identical expression: hosts absent from ``rules`` or with a NULL
+    disallow list are allowed). ``rules`` is the host-dimensioned policy
+    table (only host / robots_disallow / robots_allow are read); broadcast
+    dimension join + one fold over the O(new-rows) set, so the rule arrays
+    and the interpreted prefix fold are paid once per URL ever enqueued
+    instead of once per pending URL per wave."""
+    r = rules.select("host", "robots_disallow", "robots_allow")
+    return (rows.join(F.broadcast(r), on="host", how="left")
+            .withColumn(out_col,
+                        F.when(F.col("robots_disallow").isNull(), F.lit(True))
+                        .otherwise(robots_allowed(
+                            F.col("url"), F.col("robots_disallow"),
+                            F.coalesce(F.col("robots_allow"),
+                                       F.array().cast("array<string>")))))
+            .drop("robots_disallow", "robots_allow"))
 
 
 def apportion_budget(host_rank: DataFrame, total_budget: int) -> DataFrame:

@@ -379,6 +379,24 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     else:
         robots_policy = None
 
+    # robots rules are STATIC within one crawl (parsed once above, or the
+    # caller's host_policy dimension — adaptation changes only delays), so
+    # the admission decision is evaluated ONCE per URL at enqueue and
+    # stored on the frontier row (robots_ok). compose_wave then filters
+    # the O(pending) admission scan on the stored bit: the rule arrays and
+    # the interpreted per-row prefix fold — the dominant per-row CPU of
+    # the one remaining full-frontier scan at 10^10 rows — are paid once
+    # per URL ever, not once per pending URL per wave.
+    rules_src = robots_policy if robots_policy is not None else host_policy
+    frontier_needs_full = False
+    if frontier_df is not None and "robots_ok" not in frontier_df.columns:
+        # legacy store (frontier predates the stored robots bit): decorate
+        # once with the current rules — one O(total) pass per upgrade —
+        # and force the next frontier commit FULL so a delta chain never
+        # mixes schemas (compose unions snapshots by name)
+        frontier_df = po.decorate_robots_ok(frontier_df, rules_src)
+        frontier_needs_full = True
+
     for wave in range(start_wave, max_waves):
         logical_now = LOGICAL_T0 + timedelta(seconds=wave * wave_seconds)
         # wave 0 (or the first commit after an empty store) writes the base;
@@ -386,7 +404,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # full snapshot — absolute wave number, so a resumed crawl compacts
         # on the same schedule it would have uninterrupted
         is_full = (frontier_df is None or compact_every <= 1
-                   or wave % compact_every == 0)
+                   or wave % compact_every == 0 or frontier_needs_full)
 
         # --- discovery + enqueue (idempotent: seen-set dedups re-discovery) ---
         cand = collect_candidates(pages, seed_url, wave=wave,
@@ -418,7 +436,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # within-run duplicate cards enqueue once per URL (the frontier is
         # URL-keyed; the *insert-time* tiered dedup below is doi/md5/title-keyed)
         fresh = dd.first_occurrence(fresh, "url_hash", "seq")
-        new_frontier_rows = fr.enqueue(fresh.drop("url_hash"), wave, logical_now)
+        new_frontier_rows = po.decorate_robots_ok(
+            fr.enqueue(fresh.drop("url_hash"), wave, logical_now), rules_src)
         if priority_df is not None:
             # rank-primed admission order: authority priorities decorate the
             # new rows via a broadcast dimension join (J4 shape) — never a
@@ -486,7 +505,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 po.default_host_policy(spark, missing, crawl_delay_ms=1000))
         else:
             policy = host_policy
-        batch = po.compose_wave(pending, policy, wave_seconds)
+        batch = po.compose_wave(pending, policy, wave_seconds,
+                                robots_col="robots_ok")
         if salt_buckets:
             batch = fr.salt_partitions(batch, salt_buckets)
         # two consumers below (hydration key set + join left side): lazy
@@ -586,6 +606,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                              meta={"n_shards": n_shards})
 
         # wave barrier: state views now come from the committed snapshots
+        frontier_needs_full = False  # any forced schema-upgrade full landed
         frontier_df = store.read(spark, "frontier")
         catalog = store.read(spark, "articles")
         seen_df = store.read(spark, "seen")

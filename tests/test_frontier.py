@@ -118,6 +118,29 @@ def test_compose_wave_robots_disallow(spark):
     assert hosts == {"h1.org", "h2.org"}  # all h0 paths start /doi/ → blocked
 
 
+def test_compose_wave_robots_col_fast_path_matches_fold(spark):
+    """The stored-bit admission path (decorate_robots_ok at enqueue +
+    compose_wave(robots_col=...)) must admit EXACTLY the rows the
+    in-admission fold admits — including Allow-overrides-Disallow
+    precedence — while carrying no rule arrays into the wave scan."""
+    frontier = fr.enqueue(make_candidates(spark, 9), wave=0, logical_now=T0)
+    policy = spark.createDataFrame(
+        [("h0.org", 1000, ["/doi/"], [], "ua"),                  # all blocked
+         ("h1.org", 1000, ["/doi/"], ["/doi/10.1/x1"], "ua"),    # one allowed
+         ("h2.org", 1000, [], [], "ua")],                        # all allowed
+        po.HOST_POLICY_SCHEMA)
+    slow = po.compose_wave(fr.eligible_pending(frontier, T0), policy, 3600)
+    fast = po.compose_wave(
+        po.decorate_robots_ok(fr.eligible_pending(frontier, T0), policy),
+        policy, 3600, robots_col="robots_ok")
+    want = sorted(r["seq"] for r in slow.collect())
+    got = sorted(r["seq"] for r in fast.collect())
+    assert got == want and want  # non-degenerate: some rows admitted
+    # the allow-precedence row survived both paths
+    assert {r["url"] for r in fast.collect()
+            if r["host"] == "h1.org"} == {"https://h1.org/doi/10.1/x1"}
+
+
 def test_salt_partitions_spreads_hot_host(spark):
     frontier = fr.enqueue(make_candidates(spark, 30), wave=0, logical_now=T0)
     salted = fr.salt_partitions(frontier, n_buckets=8)

@@ -241,6 +241,35 @@ def test_adaptive_delay_crawl(spark, pages, pages_dict, tmp_path):
     assert all(pol_end[h] <= d for h, d in pol_mid.items() if h in pol_end)
 
 
+def test_legacy_store_without_robots_ok_migrates_on_resume(spark, pages,
+                                                           pages_dict,
+                                                           tmp_path):
+    """A store written before the stored robots bit (frontier has no
+    robots_ok column) must keep resuming: the loop decorates the composed
+    frontier once with the current rules, forces the next frontier commit
+    FULL (a delta would union mismatched schemas onto the legacy base),
+    and the finished crawl still matches the reference byte for byte."""
+    from pyspark.sql import functions as F
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "legacy"))
+    crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+          max_waves=2, n_shards=4)
+    lw = store.latest_wave("frontier")
+    legacy = store.read(spark, "frontier").drop("robots_ok")
+    # overwrite the latest snapshot with a legacy-shaped FULL (pre-upgrade
+    # stores committed the full frontier without the column)
+    store.commit(legacy, "frontier", lw, partition_by=["status"])
+    assert "robots_ok" not in store.read(spark, "frontier").columns
+    cat = crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+                max_waves=30, n_shards=4)
+    assert_parity(cat.collect(), sim)
+    migrated = store.read(spark, "frontier")
+    assert "robots_ok" in migrated.columns
+    assert migrated.filter(F.col("robots_ok").isNull()).count() == 0
+    resumed = [s for s in store.snapshots("frontier") if s["wave"] == lw + 1]
+    assert resumed and resumed[0]["mode"] == "full"
+
+
 def test_adaptive_policy_delta_commits_are_outcome_hosts(spark, pages,
                                                          pages_dict, tmp_path):
     """Non-compaction waves commit host_policy as a keyed-host delta of

@@ -242,6 +242,25 @@ def main() -> int:
         ("no global sort in admission", "rangepartitioning" not in p7.lower()),
     ])
 
+    # ---- crawl-loop admission fast path: stored robots bit ---------------
+    # the loop evaluates robots ONCE per URL at enqueue (decorate_robots_ok)
+    # and compose_wave(robots_col=...) filters the per-wave O(pending) scan
+    # on the stored boolean: the plan must carry NO rule arrays and run no
+    # per-row prefix fold (interpreted HOF `aggregate` — the cost this path
+    # exists to remove), while keeping the two-phase bounded-top-k shape.
+    # The decoration is materialized first so its own (one-time) fold does
+    # not appear in the per-wave plan under audit.
+    pend_bit = po.decorate_robots_ok(pend, policy).localCheckpoint()
+    p7b = plan_of(po.compose_wave(pend_bit, policy, wave_seconds=60,
+                                  robots_col="robots_ok"))
+    all_ok &= audit("compose_wave robots_col (stored-bit admission)", p7b, [
+        ("no rule arrays or prefix fold in the per-wave scan",
+         "robots_disallow" not in p7b and "robots_allow" not in p7b
+         and "aggregate(" not in p7b),
+        ("two-phase admission shape preserved",
+         len(re.findall(r"\(\d+\) Window", p7b)) >= 2 and "__lrank" in p7b),
+    ])
+
     # ---- J2 batch hydration: O(wave), candidates never shuffle ------------
     # batch stand-in: a narrow (url, seq) frame with no exchanges of its
     # own, so every Exchange in the plan belongs to hydrate_batch itself
