@@ -695,6 +695,27 @@ def main() -> int:
          bool(exch22) and not url_in_exch22),
     ])
 
+    # ---- adaptive policy delta commit: outcome-host prune ----------------
+    # the crawl loop's non-compaction host_policy commit prunes the
+    # host-dimensioned policy to the wave's outcome hosts BEFORE adapting
+    # (plans/wave.py): the prune must be a broadcast semi-join — the
+    # policy dimension is scanned past a wave-sized host set, never
+    # hash-partitioned. Post-prune joins are wave-sized and unconstrained.
+    pol_dim = po.default_host_policy(
+        spark, urls.select(F.parse_url(F.col("url"), F.lit("HOST"))
+                           .alias("host")).distinct())
+    outcomes_aud = urls.limit(50).select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.lit(True).alias("success"))
+    p23 = plan_of(po.adapt_host_policy(
+        pol_dim.join(F.broadcast(outcomes_aud.select("host").distinct()),
+                     on="host", how="left_semi"),
+        outcomes_aud))
+    all_ok &= audit("adapt_host_policy delta (outcome-host prune)", p23, [
+        ("policy dimension pruned by a broadcast LEFT-SEMI join",
+         bool(re.search(r"BroadcastHashJoin .*LeftSemi", p23))),
+    ])
+
     print("\n" + ("ALL CHECKS PASS" if all_ok else "SOME CHECKS FAILED"))
     return 0 if all_ok else 1
 
