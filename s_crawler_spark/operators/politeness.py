@@ -181,8 +181,23 @@ def decorate_robots_ok(rows: DataFrame, rules: DataFrame,
     table (only host / robots_disallow / robots_allow are read); broadcast
     dimension join + one fold over the O(new-rows) set, so the rule arrays
     and the interpreted prefix fold are paid once per URL ever enqueued
-    instead of once per pending URL per wave."""
-    r = rules.select("host", "robots_disallow", "robots_allow")
+    instead of once per pending URL per wave.
+
+    Duplicate host rows in ``rules`` are collapsed to ONE row per host
+    (rule lists unioned, sorted — longest-prefix-match semantics depend
+    only on set membership, so the decision is unchanged and
+    deterministic): a left join against a dimension with duplicate keys
+    would FAN OUT each enqueued URL into several frontier rows, and here
+    the fan-out would be PERSISTED as duplicate url_hash keys (the same
+    hazard the streaming admission collapses its policy for — CLAUDE.md)."""
+    r = (rules.select("host", "robots_disallow", "robots_allow")
+         .groupBy("host").agg(
+             F.array_sort(F.array_distinct(
+                 F.flatten(F.collect_list("robots_disallow"))))
+             .alias("robots_disallow"),
+             F.array_sort(F.array_distinct(
+                 F.flatten(F.collect_list("robots_allow"))))
+             .alias("robots_allow")))
     return (rows.join(F.broadcast(r), on="host", how="left")
             .withColumn(out_col,
                         F.when(F.col("robots_disallow").isNull(), F.lit(True))

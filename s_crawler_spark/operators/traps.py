@@ -137,7 +137,9 @@ def update_trap_state(state: DataFrame | None,
                       repeat_threshold: int = REPEAT_THRESHOLD,
                       query_threshold: int = QUERY_THRESHOLD,
                       ratio_bp: int = TRAP_RATIO_BP,
-                      touched_only: bool = False) -> DataFrame:
+                      touched_only: bool = False,
+                      added_counts: DataFrame | None = None,
+                      removed_counts: DataFrame | None = None) -> DataFrame:
     """Incremental trap-state maintenance — the O(wave) form of
     ``trap_hosts(all_pending)``.
 
@@ -162,6 +164,14 @@ def update_trap_state(state: DataFrame | None,
     ``store.commit(..., mode='delta', key=['host'],
     delete_where='n_urls = 0')`` and the composed read drops them, which
     reproduces the default form's drop-out semantics exactly.
+
+    ``added_counts`` / ``removed_counts`` accept PRE-AGGREGATED per-host
+    partials (the ``host_trap_counts`` schema, positive counts — removed
+    ones are negated here): a caller folding the same URL set into two
+    plans (the crawl loop feeds the wave's enqueue partials to both the
+    admission flag and the commit fold) computes and checkpoints the
+    partials once instead of re-running the per-URL feature extraction
+    per consumer.
     """
     partials = []
     for urls, weight in ((added, 1), (removed, -1)):
@@ -169,6 +179,11 @@ def update_trap_state(state: DataFrame | None,
             partials.append(host_trap_counts(
                 urls, url_col, depth_threshold, repeat_threshold,
                 query_threshold, weight=weight))
+    if added_counts is not None:
+        partials.append(added_counts.select("host", *_COUNT_COLS))
+    if removed_counts is not None:
+        partials.append(removed_counts.select(
+            "host", *[(-F.col(c)).alias(c) for c in _COUNT_COLS]))
     if touched_only:
         if not partials:
             raise ValueError(
@@ -177,6 +192,9 @@ def update_trap_state(state: DataFrame | None,
         delta = partials[0]
         for p in partials[1:]:
             delta = delta.unionByName(p)
+        # two consumers below (touched-host key set + the union itself):
+        # a lazy checkpoint stops the partial aggregates re-executing
+        delta = delta.localCheckpoint(eager=False)
         if state is not None:
             pruned = (state.select("host", *[F.col(c) for c in _COUNT_COLS])
                       .join(F.broadcast(delta.select("host")),

@@ -345,11 +345,13 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         seen_df = store.read(spark, "seen")
         cand_store = store.read(spark, "candidates")
         if adaptive_delay and store.latest_wave("host_policy") is not None:
-            policy_df = store.read(spark, "host_policy")
+            policy_df = store.read(spark, "host_policy") \
+                .localCheckpoint(eager=False)
         if trap_guard:
             ts_wave = store.latest_wave("trap_state")
             if ts_wave is not None and ts_wave == store.latest_wave("frontier"):
-                trap_state_df = store.read(spark, "trap_state")
+                trap_state_df = store.read(spark, "trap_state") \
+                    .localCheckpoint(eager=False)
                 trap_base_ok = True
             else:
                 # table absent (store predates incremental trap state),
@@ -362,7 +364,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 # as status_counts below. Incremental thereafter.
                 trap_state_df = tp.update_trap_state(
                     None, added=frontier_df.filter(
-                        F.col("status") == fr.STATUS_PENDING))
+                        F.col("status") == fr.STATUS_PENDING)) \
+                    .localCheckpoint(eager=False)  # 3 first-wave consumers
 
     meta_cols = ["url", "title", "doi", "journal", "publication_date", "authors"]
 
@@ -388,14 +391,34 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     # the one remaining full-frontier scan at 10^10 rows — are paid once
     # per URL ever, not once per pending URL per wave.
     rules_src = robots_policy if robots_policy is not None else host_policy
+    # order-insensitive fingerprint of the rule content (pmod keeps the
+    # ANSI sum far from bigint overflow even at 10^8 hosts). Committed as
+    # frontier snapshot metadata: a resume whose CURRENT rules differ from
+    # the rules the stored bits were computed under must re-decorate —
+    # otherwise old pending rows would keep being admitted under the OLD
+    # rules (the pre-stored-bit loop re-evaluated current rules per wave).
+    # One bounded collect per crawl(); also warms the robots checkpoint.
+    rules_fp = rules_src.select(F.sum(F.pmod(F.xxhash64(
+        F.col("host"), F.to_json(F.col("robots_disallow")),
+        F.to_json(F.col("robots_allow"))), F.lit(1 << 31))).alias("fp")) \
+        .collect()[0]["fp"]
+    rules_fp = int(rules_fp) if rules_fp is not None else 0
     frontier_needs_full = False
-    if frontier_df is not None and "robots_ok" not in frontier_df.columns:
-        # legacy store (frontier predates the stored robots bit): decorate
-        # once with the current rules — one O(total) pass per upgrade —
-        # and force the next frontier commit FULL so a delta chain never
-        # mixes schemas (compose unions snapshots by name)
-        frontier_df = po.decorate_robots_ok(frontier_df, rules_src)
-        frontier_needs_full = True
+    if frontier_df is not None:
+        stored_fp = next(
+            (s["meta"].get("rules_fp")
+             for s in reversed(store.snapshots("frontier"))
+             if s.get("meta", {}).get("rules_fp") is not None), None)
+        if "robots_ok" not in frontier_df.columns or stored_fp != rules_fp:
+            # legacy store (frontier predates the stored robots bit) or the
+            # rules CHANGED since the bits were stored: re-decorate with
+            # the current rules — one O(total) pass per upgrade/change —
+            # and force the next frontier commit FULL so the re-decorated
+            # values persist and a delta chain never mixes schemas
+            # (compose unions snapshots by name)
+            frontier_df = po.decorate_robots_ok(
+                frontier_df.drop("robots_ok"), rules_src)
+            frontier_needs_full = True
 
     for wave in range(start_wave, max_waves):
         logical_now = LOGICAL_T0 + timedelta(seconds=wave * wave_seconds)
@@ -449,6 +472,10 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 .withColumn("priority",
                             F.coalesce(F.col("__prio"), F.col("priority")))
                 .drop("__prio"))
+        # many consumers (pending scan, trap partials, frontier delta,
+        # commits): the checkpoint stops the enqueue-time robots fold and
+        # discovery plan re-executing per consumer
+        new_frontier_rows = new_frontier_rows.localCheckpoint(eager=False)
 
         frontier_all = (new_frontier_rows if frontier_df is None
                         else frontier_df.unionByName(new_frontier_rows))
@@ -472,9 +499,14 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             # shuffled), then flag = re-flagged touched hosts ∪ the prior
             # state's still-untouched flags. Feature extraction touches
             # only O(wave) rows, the fold only O(touched-host) rows.
+            # the wave's enqueue partials feed BOTH the admission flag fold
+            # here and the commit fold below — computed and checkpointed
+            # once (per-URL feature extraction is the expensive part)
+            add_counts = tp.host_trap_counts(new_frontier_rows) \
+                .localCheckpoint(eager=False)
             # checkpointed: two consumers (flag rows + touched-host key set)
             pre_touched = tp.update_trap_state(
-                trap_state_df, added=new_frontier_rows, touched_only=True) \
+                trap_state_df, added_counts=add_counts, touched_only=True) \
                 .localCheckpoint(eager=False)
             flagged = pre_touched.filter(F.col("is_trap") == 1).select("host")
             if trap_state_df is not None:
@@ -573,7 +605,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             # files — the last full-table read per wave becomes
             # partition-pruned (audit-pinned PartitionFilters)
             commit_timed(fr.record_results(frontier_all, results, logical_now),
-                         "frontier", partition_by=["status"])
+                         "frontier", partition_by=["status"],
+                         meta={"rules_fp": rules_fp})
             commit_timed(new_articles if catalog is None
                          else catalog.unionByName(new_articles), "articles")
             commit_timed(seen_all, "seen")
@@ -583,7 +616,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                          "seen_shards", meta={"n_shards": n_shards})
         else:
             commit_timed(frontier_delta, "frontier",
-                         mode="delta", key=["url_hash"])
+                         mode="delta", key=["url_hash"],
+                         meta={"rules_fp": rules_fp})
             commit_timed(new_articles, "articles", mode="delta")
             commit_timed(seen_delta, "seen", mode="delta")
             commit_timed(new_meta, "candidates", mode="delta")
@@ -668,7 +702,10 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                     on="host", how="left_semi")
                 commit_timed(po.adapt_host_policy(touched, host_results),
                              "host_policy", mode="delta", key=["host"])
-            policy_df = store.read(spark, "host_policy")
+            # consumed next wave by the missing-host anti-join, the policy
+            # union and the commit fold: checkpoint the composed read once
+            policy_df = store.read(spark, "host_policy") \
+                .localCheckpoint(eager=False)
         if trap_guard:
             # fold this wave's enqueues in and its pending-set departures
             # (done/retired rows — retried rows stay pending and stay
@@ -683,16 +720,19 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 F.col("status") != fr.STATUS_PENDING).select("url")
             if is_full or not trap_base_ok:
                 commit_timed(tp.update_trap_state(
-                    trap_state_df, added=new_frontier_rows, removed=departed),
+                    trap_state_df, added_counts=add_counts, removed=departed),
                     "trap_state")
             else:
                 commit_timed(tp.update_trap_state(
-                    trap_state_df, added=new_frontier_rows, removed=departed,
+                    trap_state_df, added_counts=add_counts, removed=departed,
                     touched_only=True),
                     "trap_state", mode="delta", key=["host"],
                     delete_where="n_urls = 0")
             trap_base_ok = True
-            trap_state_df = store.read(spark, "trap_state")
+            # three consumers next wave (prune, flag union, commit fold):
+            # checkpoint the composed read once
+            trap_state_df = store.read(spark, "trap_state") \
+                .localCheckpoint(eager=False)
         store.commit(
             spark.createDataFrame(phase_ms, "wave int, phase string, ms long"),
             "phase_log", wave)

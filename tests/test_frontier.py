@@ -141,6 +141,23 @@ def test_compose_wave_robots_col_fast_path_matches_fold(spark):
             if r["host"] == "h1.org"} == {"https://h1.org/doi/10.1/x1"}
 
 
+def test_decorate_robots_ok_collapses_duplicate_policy_hosts(spark):
+    """A rules table with duplicate host rows must not fan enqueued URLs
+    out into duplicate (persisted!) frontier rows: decorate collapses to
+    one row per host with the rule lists unioned — a blocking rule in ANY
+    duplicate row blocks."""
+    rows = fr.enqueue(make_candidates(spark, 3), wave=0, logical_now=T0)
+    rules = spark.createDataFrame(
+        [("h0.org", 1000, ["/doi/"], [], "ua"),
+         ("h0.org", 2000, [], [], "ua")],
+        po.HOST_POLICY_SCHEMA)
+    out = po.decorate_robots_ok(rows, rules)
+    assert out.count() == 3  # no fan-out
+    vals = {r["host"]: r["robots_ok"] for r in out.collect()}
+    assert vals["h0.org"] is False   # merged rules: the blocking row wins
+    assert vals["h1.org"] is True and vals["h2.org"] is True
+
+
 def test_salt_partitions_spreads_hot_host(spark):
     frontier = fr.enqueue(make_candidates(spark, 30), wave=0, logical_now=T0)
     salted = fr.salt_partitions(frontier, n_buckets=8)

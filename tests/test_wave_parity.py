@@ -270,6 +270,57 @@ def test_legacy_store_without_robots_ok_migrates_on_resume(spark, pages,
     assert resumed and resumed[0]["mode"] == "full"
 
 
+def test_resume_with_changed_rules_rebinds_stored_robots_bits(spark,
+                                                              tmp_path):
+    """The stored robots_ok bits are valid only for the rules they were
+    computed under: a resume whose CURRENT rules differ (detected via the
+    rules fingerprint in the frontier snapshot metadata) must re-decorate
+    the pending backlog — old pending rows must obey the NEW rules, as
+    the pre-stored-bit loop did by re-folding every wave."""
+    from pyspark.sql import functions as F
+
+    from s_crawler_spark import corpus as cp
+    from s_crawler_spark.operators import frontier as fr
+    from s_crawler_spark.operators import politeness as po
+
+    card_urls = [f"https://h.example/blockme/d{i}" for i in range(4)]
+    docs = [dict(doc_id=i, detail_href=u, title=f"Doc {i}",
+                 journal="J", has_journal_span=True,
+                 date_text="01 Jan 2020", authors=["A B"])
+            for i, u in enumerate(card_urls)]
+    seed_html = cp.render_search_page(
+        1, [cp.render_card(d) for d in docs], has_next=False)
+    pages2 = spark.createDataFrame(
+        [(cp.seed_search_url(), bytearray(seed_html.encode()))],
+        "url string, html binary")
+
+    p1 = po.default_host_policy(spark, ["h.example"], crawl_delay_ms=25_000)
+    p2 = spark.createDataFrame(
+        [("h.example", 25_000, ["/blockme"], [], "ua")],
+        po.HOST_POLICY_SCHEMA)
+
+    store = SnapshotStore(str(tmp_path / "rules"))
+    # phase 1 under P1 (everything allowed): 4 cards enqueue; the 1-slot
+    # budget admits one, whose fetch fails (no detail pages) -> 4 pending
+    crawl(spark, pages2, cp.seed_search_url(), store, wave_seconds=1,
+          max_waves=1, n_shards=2, host_policy=p1)
+    pend1 = store.read(spark, "frontier") \
+        .filter(F.col("status") == fr.STATUS_PENDING)
+    assert pend1.count() == 4
+    attempts1 = sum(r["attempts"] for r in pend1.collect())
+    assert attempts1 == 1
+    assert all(r["robots_ok"] for r in pend1.collect())
+    # phase 2 under P2 (now disallowed): the stored True bits must rebind
+    # to False and NO further fetch attempt may happen on those rows
+    crawl(spark, pages2, cp.seed_search_url(), store, wave_seconds=1,
+          max_waves=8, n_shards=2, host_policy=p2)
+    pend2 = store.read(spark, "frontier") \
+        .filter(F.col("status") == fr.STATUS_PENDING).collect()
+    assert len(pend2) == 4                       # nothing retired/admitted
+    assert all(not r["robots_ok"] for r in pend2)
+    assert sum(r["attempts"] for r in pend2) == attempts1  # no new fetches
+
+
 def test_adaptive_policy_delta_commits_are_outcome_hosts(spark, pages,
                                                          pages_dict, tmp_path):
     """Non-compaction waves commit host_policy as a keyed-host delta of

@@ -678,11 +678,18 @@ def main() -> int:
     # key set — at 10^8 hosts a sort-merge or full-state shuffle here would
     # put the whole dimension back on the wire every wave), and url rows
     # still never reach an Exchange
-    p22 = plan_of(tp.update_trap_state(
-        state_aud,
-        added=urls.filter(F.col("doc_id") % 3 == 1).select("url"),
-        removed=urls.filter(F.col("doc_id") % 3 == 2).select("url"),
-        touched_only=True))
+    # the operator lazily checkpoints its partial-union (two consumers);
+    # neutralize HERE ONLY to audit the full lineage (same pattern as the
+    # update_shards section above)
+    _DF.localCheckpoint = lambda self, eager=True: self
+    try:
+        p22 = plan_of(tp.update_trap_state(
+            state_aud,
+            added=urls.filter(F.col("doc_id") % 3 == 1).select("url"),
+            removed=urls.filter(F.col("doc_id") % 3 == 2).select("url"),
+            touched_only=True))
+    finally:
+        _DF.localCheckpoint = _orig_lc
     exch22 = exchange_inputs(p22)
     url_in_exch22 = any(
         "url" in {c.split("#")[0].strip() for c in s.split(",")}
