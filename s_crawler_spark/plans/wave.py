@@ -420,6 +420,20 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 frontier_df.drop("robots_ok"), rules_src)
             frontier_needs_full = True
 
+    # discovery fingerprint (per process): a cheap url-COLUMN aggregate over
+    # the seed's search-page family. When it is unchanged since this
+    # process' last full discovery scan AND max_count is None, re-running
+    # discovery provably yields nothing new — every card of every already-
+    # scanned page is in candidates/seen, and the catalog anti-join only
+    # ever REMOVES candidates — so the per-wave O(listing) HTML parse is
+    # skipped outright (the fp agg reads only the pushed-down url column,
+    # no binary html I/O). With max_count set the full re-scan is kept:
+    # truncation picks the top-k of the CURRENT candidate set, which
+    # changes as the catalog grows. First wave of each process always
+    # scans (idempotent — enqueue-dedup drops re-discoveries), so resume
+    # needs no persisted fingerprint.
+    last_disc_fp = None
+
     for wave in range(start_wave, max_waves):
         logical_now = LOGICAL_T0 + timedelta(seconds=wave * wave_seconds)
         # wave 0 (or the first commit after an empty store) writes the base;
@@ -430,8 +444,24 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                    or wave % compact_every == 0 or frontier_needs_full)
 
         # --- discovery + enqueue (idempotent: seen-set dedups re-discovery) ---
-        cand = collect_candidates(pages, seed_url, wave=wave,
-                                  max_count=max_count, catalog=catalog)
+        disc_fp = None
+        if max_count is None:
+            fp_row = search_pages(pages, seed_url).select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.pmod(F.xxhash64(F.col("url")), F.lit(1 << 31)))
+                .alias("h")).collect()[0]
+            disc_fp = (fp_row["n"], fp_row["h"])
+        if disc_fp is not None and disc_fp == last_disc_fp:
+            # page set unchanged since this process' last scan: discovery
+            # is a no-op by construction — schema-only empty stand-in
+            # (catalog=None path: analysis only, nothing executes)
+            cand = spark.createDataFrame(
+                [], collect_candidates(pages, seed_url, wave=wave,
+                                       catalog=None).schema)
+        else:
+            cand = collect_candidates(pages, seed_url, wave=wave,
+                                      max_count=max_count, catalog=catalog)
+            last_disc_fp = disc_fp
         cand = cand.withColumn("url_hash", scalars.canonical_url_hash(F.col("url")))
         shards_df = store.read(spark, "seen_shards")
         # the committed shard layout's modulus (None: no table yet, or a
