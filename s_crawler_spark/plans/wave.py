@@ -45,6 +45,19 @@ from ..sources.store import SnapshotStore
 LOGICAL_T0 = datetime(2024, 6, 1)
 
 
+def _content_fp(df: DataFrame, *cols) -> tuple:
+    """Order-insensitive content fingerprint of a column-expression set:
+    ``(row_count, sum of per-row pmod'ed xxhash64)``. The pmod keeps the
+    ANSI sum far from bigint overflow even at 10^8 rows; one bounded
+    collect. Shared by the rules fingerprint (stored robots bits) and the
+    discovery fingerprint so the hash scheme cannot drift between them."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1 << 31))).alias("h")
+    ).collect()[0]
+    return (row["n"], int(row["h"]) if row["h"] is not None else None)
+
+
 def search_pages(pages: DataFrame, seed_url: str) -> DataFrame:
     """The seed's paginated search listing: same URL minus the startPage
     param (the reference walks the pager links from the seed,
@@ -391,18 +404,15 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     # the one remaining full-frontier scan at 10^10 rows — are paid once
     # per URL ever, not once per pending URL per wave.
     rules_src = robots_policy if robots_policy is not None else host_policy
-    # order-insensitive fingerprint of the rule content (pmod keeps the
-    # ANSI sum far from bigint overflow even at 10^8 hosts). Committed as
-    # frontier snapshot metadata: a resume whose CURRENT rules differ from
-    # the rules the stored bits were computed under must re-decorate —
+    # fingerprint of the rule content, committed as frontier snapshot
+    # metadata (a JSON-stable string): a resume whose CURRENT rules differ
+    # from the rules the stored bits were computed under must re-decorate —
     # otherwise old pending rows would keep being admitted under the OLD
     # rules (the pre-stored-bit loop re-evaluated current rules per wave).
     # One bounded collect per crawl(); also warms the robots checkpoint.
-    rules_fp = rules_src.select(F.sum(F.pmod(F.xxhash64(
-        F.col("host"), F.to_json(F.col("robots_disallow")),
-        F.to_json(F.col("robots_allow"))), F.lit(1 << 31))).alias("fp")) \
-        .collect()[0]["fp"]
-    rules_fp = int(rules_fp) if rules_fp is not None else 0
+    rules_fp = "%s:%s" % _content_fp(
+        rules_src, F.col("host"), F.to_json(F.col("robots_disallow")),
+        F.to_json(F.col("robots_allow")))
     frontier_needs_full = False
     if frontier_df is not None:
         stored_fp = next(
@@ -423,16 +433,21 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     # discovery fingerprint (per process): a cheap url-COLUMN aggregate over
     # the seed's search-page family. When it is unchanged since this
     # process' last full discovery scan AND max_count is None, re-running
-    # discovery provably yields nothing new — every card of every already-
-    # scanned page is in candidates/seen, and the catalog anti-join only
-    # ever REMOVES candidates — so the per-wave O(listing) HTML parse is
+    # discovery yields nothing new — every card of every already-scanned
+    # page is in candidates/seen, and the catalog anti-join only ever
+    # REMOVES candidates — so the per-wave O(listing) HTML parse is
     # skipped outright (the fp agg reads only the pushed-down url column,
-    # no binary html I/O). With max_count set the full re-scan is kept:
-    # truncation picks the top-k of the CURRENT candidate set, which
-    # changes as the catalog grows. First wave of each process always
-    # scans (idempotent — enqueue-dedup drops re-discoveries), so resume
-    # needs no persisted fingerprint.
+    # no binary html I/O). This rests on the engine's corpus contract:
+    # ``pages`` is an IMMUTABLE snapshot within one crawl() invocation (a
+    # mutated page body at an unchanged URL is invisible to a url-column
+    # fingerprint); content changes arrive via a new crawl() call, whose
+    # first wave ALWAYS re-scans (idempotent — enqueue-dedup drops
+    # re-discoveries; pytest pins the grown-corpus resume). With max_count
+    # set the full re-scan is kept: truncation picks the top-k of the
+    # CURRENT candidate set, which changes as the catalog grows.
     last_disc_fp = None
+    cand_schema = None  # discovery output schema — wave-invariant,
+    # resolved once (analysis only) the first time a wave skips
 
     for wave in range(start_wave, max_waves):
         logical_now = LOGICAL_T0 + timedelta(seconds=wave * wave_seconds)
@@ -446,18 +461,16 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # --- discovery + enqueue (idempotent: seen-set dedups re-discovery) ---
         disc_fp = None
         if max_count is None:
-            fp_row = search_pages(pages, seed_url).select(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.pmod(F.xxhash64(F.col("url")), F.lit(1 << 31)))
-                .alias("h")).collect()[0]
-            disc_fp = (fp_row["n"], fp_row["h"])
+            disc_fp = _content_fp(search_pages(pages, seed_url),
+                                  F.col("url"))
         if disc_fp is not None and disc_fp == last_disc_fp:
             # page set unchanged since this process' last scan: discovery
             # is a no-op by construction — schema-only empty stand-in
             # (catalog=None path: analysis only, nothing executes)
-            cand = spark.createDataFrame(
-                [], collect_candidates(pages, seed_url, wave=wave,
-                                       catalog=None).schema)
+            if cand_schema is None:
+                cand_schema = collect_candidates(pages, seed_url, wave=wave,
+                                                 catalog=None).schema
+            cand = spark.createDataFrame([], cand_schema)
         else:
             cand = collect_candidates(pages, seed_url, wave=wave,
                                       max_count=max_count, catalog=catalog)

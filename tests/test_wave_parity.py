@@ -270,6 +270,37 @@ def test_legacy_store_without_robots_ok_migrates_on_resume(spark, pages,
     assert resumed and resumed[0]["mode"] == "full"
 
 
+def test_resume_rescans_discovery_once_per_process(spark, tmp_path):
+    """The discovery fingerprint gate is per-process: a resumed crawl()'s
+    first wave always re-scans, so corpus changes between crawl() calls —
+    including new cards on an EXISTING page URL, which the url-column
+    fingerprint cannot see mid-process — are discovered on resume."""
+    from s_crawler_spark import corpus as cp
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    def mk_pages(n_docs):
+        docs = [dict(doc_id=i, detail_href=f"https://h.example/d{i}",
+                     title=f"Doc {i}", journal="J", has_journal_span=True,
+                     date_text="01 Jan 2020", authors=["A B"])
+                for i in range(n_docs)]
+        html = cp.render_search_page(
+            1, [cp.render_card(d) for d in docs], has_next=False)
+        return spark.createDataFrame(
+            [(cp.seed_search_url(), bytearray(html.encode()))],
+            "url string, html binary")
+
+    store = SnapshotStore(str(tmp_path / "grow"))
+    crawl(spark, mk_pages(2), cp.seed_search_url(), store,
+          wave_seconds=3600, max_waves=1, n_shards=2)
+    assert store.read(spark, "frontier").count() == 2
+    # same page URL, new body with 2 extra cards: a fresh crawl() call
+    # must pick them up (its first wave scans unconditionally)
+    crawl(spark, mk_pages(4), cp.seed_search_url(), store,
+          wave_seconds=3600, max_waves=3, n_shards=2)
+    urls = {r["url"] for r in store.read(spark, "frontier").collect()}
+    assert urls == {f"https://h.example/d{i}" for i in range(4)}
+
+
 def test_resume_with_changed_rules_rebinds_stored_robots_bits(spark,
                                                               tmp_path):
     """The stored robots_ok bits are valid only for the rules they were
