@@ -86,6 +86,43 @@ def test_resume_from_checkpoint(spark, pages, pages_dict, tmp_path):
     assert_parity(cat.collect(), sim)
 
 
+def test_resume_parity_at_every_wave_boundary(spark, pages, pages_dict,
+                                              tmp_path):
+    """Killing the driver after ANY wave and resuming — with the full
+    production composition on (adaptive delays + trap guard, i.e. every
+    state table incl. the host-dimensioned keyed deltas) — must reproduce
+    the uninterrupted crawl exactly: article catalog, terminal frontier
+    state, and the learned per-host delays, at every split point across
+    the delta chain."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    kw = dict(wave_seconds=100, n_shards=4,
+              adaptive_delay=True, trap_guard=True)
+    ref_store = SnapshotStore(str(tmp_path / "ref"))
+    crawl(spark, pages, seed_search_url(), ref_store, max_waves=30, **kw)
+    n_waves = ref_store.latest_wave("frontier") + 1
+    assert n_waves >= 3  # several boundaries to split at
+
+    def frontier_state(store):
+        return sorted(
+            (r["url_hash"], r["status"], r["attempts"], r["robots_ok"])
+            for r in store.read(spark, "frontier").collect())
+
+    def policy_state(store):
+        return sorted((r["host"], r["crawl_delay_ms"])
+                      for r in store.read(spark, "host_policy").collect())
+
+    ref_frontier = frontier_state(ref_store)
+    ref_policy = policy_state(ref_store)
+    for k in range(1, n_waves):
+        st = SnapshotStore(str(tmp_path / f"k{k}"))
+        crawl(spark, pages, seed_search_url(), st, max_waves=k, **kw)
+        assert st.latest_wave("frontier") == k - 1, k  # really interrupted
+        cat = crawl(spark, pages, seed_search_url(), st, max_waves=30, **kw)
+        assert_parity(cat.collect(), sim)
+        assert frontier_state(st) == ref_frontier, k
+        assert policy_state(st) == ref_policy, k
+
+
 def test_fresh_crawl_into_used_store_raises(spark, pages, tmp_path):
     """resume=False over a store with committed waves must refuse: wave 0
     would re-commit under the old store's LATER snapshots, and every
