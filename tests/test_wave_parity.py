@@ -457,6 +457,32 @@ def test_snapshot_expiry_bounds_storage_and_resumes(spark, pages, pages_dict,
     assert_parity(cat.collect(), sim)
 
 
+def test_delta_crawl_storage_bounded(spark, pages, pages_dict, tmp_path):
+    """Delta-mode expiry: with compact_every=2 and expire_keep=1, every
+    state table holds at most the newest full + the deltas after it at
+    any point, the ledgers keep full history, and a crash-resume from the
+    expired store still reproduces the reference crawl exactly."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "db"))
+    crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+          max_waves=3, n_shards=4, expire_keep=1, compact_every=2)
+    n_waves = store.latest_wave("frontier") + 1
+    assert n_waves == 3
+    for t in ("frontier", "articles", "seen", "candidates", "seen_shards"):
+        snaps = store.snapshots(t)
+        fulls = [s for s in snaps if s["mode"] == "full"]
+        assert len(fulls) == 1, t
+        # every retained delta is newer than its base full (composable)
+        assert all(s["id"] > fulls[0]["id"]
+                   for s in snaps if s["mode"] == "delta"), t
+        assert len(snaps) <= 2, t  # newest full + at most one delta here
+    for t in ("fetch_log", "lineage", "phase_log"):
+        assert len(store.snapshots(t)) == n_waves, t  # ledger untouched
+    cat = crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+                max_waves=30, n_shards=4, expire_keep=1, compact_every=2)
+    assert_parity(cat.collect(), sim)
+
+
 def test_delta_commits_are_wave_sized(spark, pages, pages_dict, tmp_path):
     """O(wave) state I/O: wave 0 is the full base; later waves commit ONLY
     the change set (outcome rows + that wave's discoveries) — never an
