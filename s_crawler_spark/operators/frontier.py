@@ -41,6 +41,21 @@ STATUS_PENDING = "pending"
 STATUS_DONE = "done"
 STATUS_FAILED = "failed"  # retired after MAX_ATTEMPTS
 
+# coarse next_eligible granularity (epoch-hours). Frontier FULL snapshots
+# hive-partition by (status, next_eligible_bucket): the per-wave admission
+# scan file-prunes not only the done/failed rows but also the pending rows
+# backoff/trap-delayed into future buckets — at a 10^10-row frontier where
+# most pending rows are waiting out a delay, the one remaining full-table
+# read per wave shrinks to the due files only.
+ELIGIBLE_BUCKET_SECONDS = 3600
+
+
+def eligible_bucket(ts_col):
+    """Epoch-hour bucket of a timestamp column (int — hive partition
+    values stay compact and partition discovery round-trips the type)."""
+    return (F.unix_timestamp(ts_col) / F.lit(ELIGIBLE_BUCKET_SECONDS)) \
+        .cast("int")
+
 
 def composite_seq(wave_col, page_col, idx_col):
     """Order-isomorphic crawl-order key, computed without any shuffle
@@ -68,15 +83,23 @@ def enqueue(candidates: DataFrame, wave: int, logical_now) -> DataFrame:
         F.lit(None).cast("string").alias("last_error"),
         F.lit(logical_now).cast("timestamp").alias("next_eligible"),
         F.lit(logical_now).cast("timestamp").alias("discovered_at"),
-    )
+    ).withColumn("next_eligible_bucket",
+                 eligible_bucket(F.col("next_eligible")))
 
 
 def eligible_pending(frontier: DataFrame, logical_now) -> DataFrame:
-    """P9 + backoff gate: pending rows whose retry delay has elapsed."""
-    return frontier.filter(
-        (F.col("status") == STATUS_PENDING)
-        & (F.col("next_eligible") <= F.lit(logical_now).cast("timestamp"))
-    )
+    """P9 + backoff gate: pending rows whose retry delay has elapsed.
+
+    The coarse bucket predicate is redundant with the precise one (bucket
+    is derived from next_eligible by flooring, so due rows always pass
+    both) but it is a PARTITION filter on the frontier's full snapshots —
+    the scan prunes whole future-bucket files before reading a row."""
+    now = F.lit(logical_now).cast("timestamp")
+    cond = ((F.col("status") == STATUS_PENDING)
+            & (F.col("next_eligible") <= now))
+    if "next_eligible_bucket" in frontier.columns:
+        cond = cond & (F.col("next_eligible_bucket") <= eligible_bucket(now))
+    return frontier.filter(cond)
 
 
 def fifo_dequeue(frontier: DataFrame, logical_now, batch: int | None = None) -> DataFrame:
@@ -140,6 +163,10 @@ def record_results(frontier: DataFrame, results: DataFrame, logical_now) -> Data
             .otherwise(F.col("attempts")),
         )
     )
+    # keep the coarse partition column in lockstep with next_eligible
+    # (derived by flooring — recomputing it for unchanged rows is a no-op)
+    updated = updated.withColumn(
+        "next_eligible_bucket", eligible_bucket(F.col("next_eligible")))
     return updated.drop("__r_hash", "__r_success", "__r_error")
 
 

@@ -172,8 +172,27 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     )
 
 
+def collapse_rules(rules: DataFrame) -> DataFrame:
+    """Collapse the host-dimensioned rules table to ONE row per host
+    (rule lists unioned, sorted — longest-prefix-match semantics depend
+    only on set membership, so the decision is unchanged and
+    deterministic). Rules are static per crawl, so the crawl loop hoists
+    this host-dimensioned aggregate out of the per-wave path: compute it
+    once (next to rules_fp, lazily checkpointed) and pass the result to
+    every ``decorate_robots_ok`` call via ``pre_collapsed=True``."""
+    return (rules.select("host", "robots_disallow", "robots_allow")
+            .groupBy("host").agg(
+                F.array_sort(F.array_distinct(
+                    F.flatten(F.collect_list("robots_disallow"))))
+                .alias("robots_disallow"),
+                F.array_sort(F.array_distinct(
+                    F.flatten(F.collect_list("robots_allow"))))
+                .alias("robots_allow")))
+
+
 def decorate_robots_ok(rows: DataFrame, rules: DataFrame,
-                       out_col: str = "robots_ok") -> DataFrame:
+                       out_col: str = "robots_ok",
+                       pre_collapsed: bool = False) -> DataFrame:
     """Evaluate the robots decision ONCE per row and store it as a boolean
     column — the enqueue-time form of compose_wave's admission predicate
     (identical expression: hosts absent from ``rules`` or with a NULL
@@ -184,20 +203,14 @@ def decorate_robots_ok(rows: DataFrame, rules: DataFrame,
     instead of once per pending URL per wave.
 
     Duplicate host rows in ``rules`` are collapsed to ONE row per host
-    (rule lists unioned, sorted — longest-prefix-match semantics depend
-    only on set membership, so the decision is unchanged and
-    deterministic): a left join against a dimension with duplicate keys
-    would FAN OUT each enqueued URL into several frontier rows, and here
-    the fan-out would be PERSISTED as duplicate url_hash keys (the same
-    hazard the streaming admission collapses its policy for — CLAUDE.md)."""
+    (``collapse_rules``; skipped when the caller already did it —
+    ``pre_collapsed=True``): a left join against a dimension with
+    duplicate keys would FAN OUT each enqueued URL into several frontier
+    rows, and here the fan-out would be PERSISTED as duplicate url_hash
+    keys (the same hazard the streaming admission collapses its policy
+    for — CLAUDE.md)."""
     r = (rules.select("host", "robots_disallow", "robots_allow")
-         .groupBy("host").agg(
-             F.array_sort(F.array_distinct(
-                 F.flatten(F.collect_list("robots_disallow"))))
-             .alias("robots_disallow"),
-             F.array_sort(F.array_distinct(
-                 F.flatten(F.collect_list("robots_allow"))))
-             .alias("robots_allow")))
+         if pre_collapsed else collapse_rules(rules))
     return (rows.join(F.broadcast(r), on="host", how="left")
             .withColumn(out_col,
                         F.when(F.col("robots_disallow").isNull(), F.lit(True))

@@ -26,7 +26,9 @@ Plan shape / scale notes (verified via .explain — see BENCH notes):
 
 from __future__ import annotations
 
+import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,15 +49,24 @@ LOGICAL_T0 = datetime(2024, 6, 1)
 
 def _content_fp(df: DataFrame, *cols) -> tuple:
     """Order-insensitive content fingerprint of a column-expression set:
-    ``(row_count, sum of per-row pmod'ed xxhash64)``. The pmod keeps the
-    ANSI sum far from bigint overflow even at 10^8 rows; one bounded
-    collect. Shared by the rules fingerprint (stored robots bits) and the
-    discovery fingerprint so the hash scheme cannot drift between them."""
+    ``(row_count, sum of per-row pmod'ed xxhash64, bit_xor of the FULL
+    64-bit hashes)``. The pmod keeps the ANSI sum far from bigint overflow
+    even at 10^8 rows; the xor component keeps all 64 hash bits in play
+    (xor has no overflow concern), so a collision needs to match count,
+    truncated sum AND full-width xor — rules_fp gates a correctness
+    decision (re-binding stored robots_ok bits on resume), which a
+    31-bit-sum-only scheme made needlessly collidable. One bounded
+    collect. Shared by the rules fingerprint and the discovery
+    fingerprint so the hash scheme cannot drift between them."""
+    h = F.xxhash64(*cols)
     row = df.select(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1 << 31))).alias("h")
+        F.sum(F.pmod(h, F.lit(1 << 31))).alias("h"),
+        F.bit_xor(h).alias("x"),
     ).collect()[0]
-    return (row["n"], int(row["h"]) if row["h"] is not None else None)
+    return (row["n"],
+            int(row["h"]) if row["h"] is not None else None,
+            int(row["x"]) if row["x"] is not None else None)
 
 
 def search_pages(pages: DataFrame, seed_url: str) -> DataFrame:
@@ -340,6 +351,22 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     # arithmetic per wave, seeded by ONE scan on the first wave of this
     # process — see the fetch_log commit below). Keyed by status string.
     status_counts: dict[str, int] | None = None
+    if resume:
+        # a wave's ~10 per-table commits are individually atomic but not
+        # jointly: a crash between two of them leaves a TORN wave (e.g.
+        # frontier rows marked done whose articles snapshot never landed —
+        # rows a latest_wave+1 resume would silently lose). The store's
+        # durable wave pointer is flipped only after a wave's LAST commit;
+        # roll back any unacknowledged snapshots and re-run the torn wave
+        # from the committed boundary (commits are wave-keyed idempotent
+        # overwrites, built for exactly this re-run).
+        boundary = store.rollback_to_committed()
+        if store.committed_wave() is None:
+            # first pointer-era crawl over this store: stamp the inferred
+            # boundary (legacy store / external frontier seed), or arm the
+            # pointer at −1 on an empty store so even a crash inside wave 0
+            # rolls back cleanly instead of leaving a torn first wave
+            store.mark_wave_committed(boundary if boundary is not None else -1)
     if not resume and store.latest_wave("frontier") is not None:
         # starting a FRESH crawl into a used store would re-commit wave 0
         # while the old store's later-wave snapshots stay newest in the
@@ -351,8 +378,14 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             "resume=False on a store with committed waves would interleave "
             "new snapshots under stale ones; use a fresh store root "
             "(or resume=True to continue)")
+    if not resume and store.committed_wave() is None:
+        store.mark_wave_committed(-1)  # arm the pointer before wave 0
     if resume and store.latest_wave("frontier") is not None:
-        start_wave = store.latest_wave("frontier") + 1
+        # resume from the COMMITTED pointer, not latest_wave: empty-delta
+        # waves skip their frontier commit, so a table's newest wave can
+        # legitimately lag the last completed wave
+        start_wave = (boundary if boundary is not None
+                      else store.latest_wave("frontier")) + 1
         frontier_df = store.read(spark, "frontier")
         catalog = store.read(spark, "articles")
         seen_df = store.read(spark, "seen")
@@ -410,16 +443,23 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     # otherwise old pending rows would keep being admitted under the OLD
     # rules (the pre-stored-bit loop re-evaluated current rules per wave).
     # One bounded collect per crawl(); also warms the robots checkpoint.
-    rules_fp = "%s:%s" % _content_fp(
+    rules_fp = "%s:%s:%s" % _content_fp(
         rules_src, F.col("host"), F.to_json(F.col("robots_disallow")),
         F.to_json(F.col("robots_allow")))
+    # rules are STATIC per crawl, so the duplicate-host collapse of the
+    # dimension (a host-dimensioned aggregate + exchange) is paid once
+    # here, not inside every per-wave decorate_robots_ok call
+    rules_collapsed = po.collapse_rules(rules_src).localCheckpoint(eager=False)
     frontier_needs_full = False
     if frontier_df is not None:
         stored_fp = next(
             (s["meta"].get("rules_fp")
              for s in reversed(store.snapshots("frontier"))
              if s.get("meta", {}).get("rules_fp") is not None), None)
-        if "robots_ok" not in frontier_df.columns or stored_fp != rules_fp:
+        needs_robots = ("robots_ok" not in frontier_df.columns
+                        or stored_fp != rules_fp)
+        needs_bucket = "next_eligible_bucket" not in frontier_df.columns
+        if needs_robots:
             # legacy store (frontier predates the stored robots bit) or the
             # rules CHANGED since the bits were stored: re-decorate with
             # the current rules — one O(total) pass per upgrade/change —
@@ -427,7 +467,20 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             # values persist and a delta chain never mixes schemas
             # (compose unions snapshots by name)
             frontier_df = po.decorate_robots_ok(
-                frontier_df.drop("robots_ok"), rules_src)
+                frontier_df.drop("robots_ok"), rules_collapsed,
+                pre_collapsed=True)
+        if needs_bucket:
+            # legacy store predating the coarse admission-scan partition
+            # column: derive it once (cheap flooring; same forced-full rule)
+            frontier_df = frontier_df.withColumn(
+                "next_eligible_bucket",
+                fr.eligible_bucket(F.col("next_eligible")))
+        if needs_robots or needs_bucket:
+            # the migrated frame feeds several consumers this wave
+            # (eligible_pending scan, the `changed` semi-join, the full
+            # record_results commit, the n_future check): checkpoint so the
+            # interpreted O(total) robots fold runs once, not per consumer
+            frontier_df = frontier_df.localCheckpoint(eager=False)
             frontier_needs_full = True
 
     # discovery fingerprint (per process): a cheap url-COLUMN aggregate over
@@ -503,7 +556,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # URL-keyed; the *insert-time* tiered dedup below is doi/md5/title-keyed)
         fresh = dd.first_occurrence(fresh, "url_hash", "seq")
         new_frontier_rows = po.decorate_robots_ok(
-            fr.enqueue(fresh.drop("url_hash"), wave, logical_now), rules_src)
+            fr.enqueue(fresh.drop("url_hash"), wave, logical_now),
+            rules_collapsed, pre_collapsed=True)
         if priority_df is not None:
             # rank-primed admission order: authority priorities decorate the
             # new rows via a broadcast dimension join (J4 shape) — never a
@@ -620,86 +674,23 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             .filter(F.col("status") != fr.STATUS_PENDING) \
             .select("url_hash", "url", "wave")
 
-        # commit this wave's state (checkpoint = resumability); re-read the
-        # committed snapshots so cross-wave lineage stays bounded — the
-        # parquet snapshot is the wave barrier, exactly like an Iceberg
-        # commit. Each commit is a real materialization boundary, so timing
-        # it yields the per-wave phase ledger the reference keeps
-        # (science_crawler_main.py:268-281): the frontier commit carries
-        # fetch+extract+bookkeeping wall, articles the tiered dedup, etc.
-        phase_ms: list[tuple[int, str, int]] = []
-
-        def commit_timed(df, name, mode="full", key=None, partition_by=None,
-                         meta=None, delete_where=None):
-            t0 = time.perf_counter()
-            store.commit(df, name, wave, mode=mode, key=key,
-                         partition_by=partition_by, meta=meta,
-                         delete_where=delete_where)
-            phase_ms.append((wave, name, int((time.perf_counter() - t0) * 1000)))
-
-        seen_all = (seen_delta if seen_df is None
-                    else seen_df.unionByName(seen_delta))
-        if is_full:
-            # compaction: materialize full state (= what merge-on-read
-            # would compose) so the next delta chain starts from a fresh
-            # base. The frontier base partitions by status (⇔ Iceberg
-            # PARTITIONED BY): at a mostly-done 10^10-row frontier the
-            # eligible-pending admission scan then reads ONLY the pending
-            # files — the last full-table read per wave becomes
-            # partition-pruned (audit-pinned PartitionFilters)
-            commit_timed(fr.record_results(frontier_all, results, logical_now),
-                         "frontier", partition_by=["status"],
-                         meta={"rules_fp": rules_fp})
-            commit_timed(new_articles if catalog is None
-                         else catalog.unionByName(new_articles), "articles")
-            commit_timed(seen_all, "seen")
-            commit_timed(cand_all, "candidates")
-            # headroom so the following delta waves can fold keys in place
-            commit_timed(sn.build_shards(seen_all, n_shards, headroom=2.0),
-                         "seen_shards", meta={"n_shards": n_shards})
-        else:
-            commit_timed(frontier_delta, "frontier",
-                         mode="delta", key=["url_hash"],
-                         meta={"rules_fp": rules_fp})
-            commit_timed(new_articles, "articles", mode="delta")
-            commit_timed(seen_delta, "seen", mode="delta")
-            commit_timed(new_meta, "candidates", mode="delta")
-            if shards_df is None or stored_ns != n_shards:
-                # no shard table yet (externally seeded store), a layout
-                # predating the n_shards metadata, or a resume with a
-                # DIFFERENT n_shards: incremental folds would OR keys into
-                # blobs laid out under the old modulus (persistent false
-                # negatives) — rebuild the whole table once under the
-                # current layout, O(seen) exactly once per layout change
-                commit_timed(sn.build_shards(seen_all, n_shards, headroom=2.0),
-                             "seen_shards", meta={"n_shards": n_shards})
-            else:
-                # fold this wave's new keys into ONLY the shards they touch;
-                # untouched blobs are carried forward by the manifest, unread
-                commit_timed(sn.update_shards(shards_df,
-                                              seen_delta.select("url_hash"),
-                                              seen_all, n_shards, headroom=2.0),
-                             "seen_shards", mode="delta", key=["shard_id"],
-                             meta={"n_shards": n_shards})
-
-        # wave barrier: state views now come from the committed snapshots
-        frontier_needs_full = False  # any forced schema-upgrade full landed
-        frontier_df = store.read(spark, "frontier")
-        catalog = store.read(spark, "articles")
-        seen_df = store.read(spark, "seen")
-        cand_store = store.read(spark, "candidates")
-
-        # --- per-wave status metrics, O(wave): counts(w) = counts(w-1)
-        # + this delta's per-status rows − the prior rows it re-states.
-        # Every prior row in the delta was PENDING when the wave started
-        # (batch ⊆ eligible_pending and new enqueues carry wave == w, so
-        # `wave < w` identifies the prior rows), which makes the update
-        # exact: a retried row nets 0, a transition moves 1, an enqueue
-        # adds 1. Seeded ONCE per process from the frontier (and re-seeded
-        # on resume from the actual state, so a crash between the frontier
-        # and fetch_log commits can never leave drift). Replaces a full
-        # frontier groupBy scan per wave — the same O(total)→O(wave) move
-        # as the delta commits. The ≤4-row collect is a bounded dimension.
+        # --- per-wave status metrics, O(wave), BEFORE the commits:
+        # counts(w) = counts(w-1) + this delta's per-status rows − the
+        # prior rows it re-states. Every prior row in the delta was PENDING
+        # when the wave started (batch ⊆ eligible_pending and new enqueues
+        # carry wave == w, so `wave < w` identifies the prior rows), which
+        # makes the update exact: a retried row nets 0, a transition moves
+        # 1, an enqueue adds 1. Seeded ONCE per process from the frontier
+        # (and re-seeded on resume from the actual state, so a crash
+        # between the frontier and fetch_log commits can never leave
+        # drift). Replaces a full frontier groupBy scan per wave — the same
+        # O(total)→O(wave) move as the delta commits. The ≤4-row collect
+        # is a bounded dimension, and it does double duty: it tells exactly
+        # which state tables this wave actually changed (empty deltas skip
+        # their commit job outright — a zero-row parquet write still costs
+        # a full job), and it materializes frontier_delta's lazy checkpoint
+        # so the pooled commit jobs below read it instead of racing to
+        # compute it.
         if status_counts is None:
             seed_df = (None if start_wave == 0 else
                        store.read(spark, "frontier", as_of_wave=wave - 1))
@@ -716,13 +707,98 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 status_counts.get(fr.STATUS_PENDING, 0) - n_prior_changed)
         for r in delta_agg:
             status_counts[r["status"]] = status_counts.get(r["status"], 0) + r["n"]
+        n_delta = sum(r["n"] for r in delta_agg)
+        n_enq = n_delta - n_prior_changed        # new frontier enqueues
+        n_term = sum(r["n"] for r in delta_agg   # pending-set departures
+                     if r["status"] != fr.STATUS_PENDING)
+        n_done = sum(r["n"] for r in delta_agg
+                     if r["status"] == fr.STATUS_DONE)
         metrics = spark.createDataFrame(
             [(s, n, wave) for s, n in sorted(status_counts.items()) if n != 0],
             "status string, count long, wave int")
-        commit_timed(metrics, "fetch_log")
+
+        # commit this wave's state (checkpoint = resumability) as ONE
+        # multi-table transaction: the task list is built single-threaded
+        # (all plan construction on the driver), then the per-table writes
+        # fan out over a small thread pool — they are independent jobs on
+        # disjoint tables whose shared lazy checkpoints are already
+        # materialized, and Spark schedules concurrent jobs from one
+        # session natively, so the wave's ~9 commit barriers overlap
+        # instead of serializing (the dominant small-wave fixed cost).
+        # Durability is unchanged: the wave pointer flips only after EVERY
+        # task (and phase_log) lands, so a crash anywhere inside the pool
+        # rolls the whole wave back. Each commit is a real materialization
+        # boundary, so timing it yields the per-wave phase ledger the
+        # reference keeps (science_crawler_main.py:268-281) — under the
+        # pool the per-phase walls overlap, so they sum to more than the
+        # wave's commit wall.
+        tasks: list[tuple[str, DataFrame, dict]] = []
+
+        def commit_task(df, name, **kw):
+            tasks.append((name, df, kw))
+
+        seen_all = (seen_delta if seen_df is None
+                    else seen_df.unionByName(seen_delta))
+        if is_full:
+            # compaction: materialize full state (= what merge-on-read
+            # would compose) so the next delta chain starts from a fresh
+            # base. The frontier base partitions by status (⇔ Iceberg
+            # PARTITIONED BY): at a mostly-done 10^10-row frontier the
+            # eligible-pending admission scan then reads ONLY the pending
+            # files — the last full-table read per wave becomes
+            # partition-pruned (audit-pinned PartitionFilters)
+            # partition by (status, next_eligible_bucket): the per-wave
+            # admission scan prunes done/failed files AND pending files
+            # whose rows are backoff/trap-delayed into future buckets
+            commit_task(fr.record_results(frontier_all, results, logical_now),
+                        "frontier",
+                        partition_by=["status", "next_eligible_bucket"],
+                        meta={"rules_fp": rules_fp})
+            commit_task(new_articles if catalog is None
+                        else catalog.unionByName(new_articles), "articles")
+            commit_task(seen_all, "seen")
+            commit_task(cand_all, "candidates")
+            # headroom so the following delta waves can fold keys in place
+            commit_task(sn.build_shards(seen_all, n_shards, headroom=2.0),
+                        "seen_shards", meta={"n_shards": n_shards})
+        else:
+            # empty-delta skips: delta_agg told us exactly what changed.
+            # A skipped table keeps its composed view from the last barrier
+            # (state identical), and resume restarts from the COMMITTED
+            # pointer, not latest_wave — so sparse per-table wave numbering
+            # is fine.
+            if n_delta:
+                commit_task(frontier_delta, "frontier",
+                            mode="delta", key=["url_hash"],
+                            meta={"rules_fp": rules_fp})
+            if n_done:
+                commit_task(new_articles, "articles", mode="delta")
+            if n_term:
+                commit_task(seen_delta, "seen", mode="delta")
+            if n_enq:
+                commit_task(new_meta, "candidates", mode="delta")
+            if shards_df is None or stored_ns != n_shards:
+                # no shard table yet (externally seeded store), a layout
+                # predating the n_shards metadata, or a resume with a
+                # DIFFERENT n_shards: incremental folds would OR keys into
+                # blobs laid out under the old modulus (persistent false
+                # negatives) — rebuild the whole table once under the
+                # current layout, O(seen) exactly once per layout change
+                commit_task(sn.build_shards(seen_all, n_shards, headroom=2.0),
+                            "seen_shards", meta={"n_shards": n_shards})
+            elif n_term:
+                # fold this wave's new keys into ONLY the shards they touch;
+                # untouched blobs are carried forward by the manifest, unread
+                commit_task(sn.update_shards(shards_df,
+                                             seen_delta.select("url_hash"),
+                                             seen_all, n_shards, headroom=2.0),
+                            "seen_shards", mode="delta", key=["shard_id"],
+                            meta={"n_shards": n_shards})
+
+        commit_task(metrics, "fetch_log")
         # A3 / north rule: per-partition lineage + fetch/parse metrics are
         # wave state too — committed so a resumed run keeps the full ledger
-        commit_timed(lineage.withColumn("wave", F.lit(wave)), "lineage")
+        commit_task(lineage.withColumn("wave", F.lit(wave)), "lineage")
         if adaptive_delay:
             # AIMD politeness update from this wave's per-host outcomes;
             # committed as wave state so resume keeps the learned delays.
@@ -737,18 +813,16 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 scalars.url_host(F.col("url")).alias("host"),
                 F.col("downloaded").alias("success"))
             if is_full or store.latest_wave("host_policy") is None:
-                commit_timed(po.adapt_host_policy(policy, host_results),
-                             "host_policy")
-            else:
+                commit_task(po.adapt_host_policy(policy, host_results),
+                            "host_policy")
+            elif n_prior_changed:
                 touched = policy.join(
                     F.broadcast(host_results.select("host").distinct()),
                     on="host", how="left_semi")
-                commit_timed(po.adapt_host_policy(touched, host_results),
-                             "host_policy", mode="delta", key=["host"])
-            # consumed next wave by the missing-host anti-join, the policy
-            # union and the commit fold: checkpoint the composed read once
-            policy_df = store.read(spark, "host_policy") \
-                .localCheckpoint(eager=False)
+                commit_task(po.adapt_host_policy(touched, host_results),
+                            "host_policy", mode="delta", key=["host"])
+            # else: no outcomes this wave — no host's delay can change, so
+            # the delta would be empty; the stored policy stays current
         if trap_guard:
             # fold this wave's enqueues in and its pending-set departures
             # (done/retired rows — retried rows stay pending and stay
@@ -762,23 +836,70 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             departed = frontier_delta.filter(
                 F.col("status") != fr.STATUS_PENDING).select("url")
             if is_full or not trap_base_ok:
-                commit_timed(tp.update_trap_state(
+                commit_task(tp.update_trap_state(
                     trap_state_df, added_counts=add_counts, removed=departed),
                     "trap_state")
-            else:
-                commit_timed(tp.update_trap_state(
+            elif n_enq or n_term:
+                commit_task(tp.update_trap_state(
                     trap_state_df, added_counts=add_counts, removed=departed,
                     touched_only=True),
                     "trap_state", mode="delta", key=["host"],
                     delete_where="n_urls = 0")
-            trap_base_ok = True
-            # three consumers next wave (prune, flag union, commit fold):
-            # checkpoint the composed read once
-            trap_state_df = store.read(spark, "trap_state") \
-                .localCheckpoint(eager=False)
+            # else: no enqueues and no departures — no host's counts moved
+
+        # fan the wave's independent per-table writes out over a small
+        # thread pool (plan construction all happened above, on the driver
+        # thread; the pool threads only run write actions). Any failure
+        # propagates before the pointer flip, so the wave rolls back whole.
+        def _run_commit(task):
+            name, df, kw = task
+            t0 = time.perf_counter()
+            store.commit(df, name, wave, **kw)
+            return (wave, name, int((time.perf_counter() - t0) * 1000))
+
+        # pool width is an ops knob (SPARK_GRAFT_COMMIT_POOL; 1 = the
+        # serialized legacy shape, kept for interleaved A/B measurement)
+        n_workers = min(int(os.environ.get("SPARK_GRAFT_COMMIT_POOL", "8")),
+                        len(tasks))
+        with ThreadPoolExecutor(max_workers=max(1, n_workers)) as pool:
+            phase_ms = list(pool.map(_run_commit, tasks))
         store.commit(
             spark.createDataFrame(phase_ms, "wave int, phase string, ms long"),
             "phase_log", wave)
+        # the wave's multi-table transaction boundary: every snapshot above
+        # becomes durable in ONE atomic pointer flip. Before this line a
+        # crash rolls the whole wave back (resume re-runs it); after it the
+        # wave can never tear. Must precede expiry — expiring first could
+        # drop the base a rollback of this very wave would need to compose.
+        store.mark_wave_committed(wave)
+
+        # wave barrier: state views now come from the committed snapshots —
+        # but only tables this wave actually changed are re-read (re-reading
+        # an unchanged table would rebuild an identical compose plan; the
+        # retained view is the same state, so cross-wave lineage stays
+        # bounded either way)
+        committed_tables = {name for name, _, _ in tasks}
+        frontier_needs_full = False  # any forced schema-upgrade full landed
+        if "frontier" in committed_tables:
+            frontier_df = store.read(spark, "frontier")
+        if "articles" in committed_tables:
+            catalog = store.read(spark, "articles")
+        if "seen" in committed_tables:
+            seen_df = store.read(spark, "seen")
+        if "candidates" in committed_tables:
+            cand_store = store.read(spark, "candidates")
+        if adaptive_delay and "host_policy" in committed_tables:
+            # consumed next wave by the missing-host anti-join, the policy
+            # union and the commit fold: checkpoint the composed read once
+            policy_df = store.read(spark, "host_policy") \
+                .localCheckpoint(eager=False)
+        if trap_guard:
+            trap_base_ok = True
+            if "trap_state" in committed_tables:
+                # three consumers next wave (prune, flag union, commit
+                # fold): checkpoint the composed read once
+                trap_state_df = store.read(spark, "trap_state") \
+                    .localCheckpoint(eager=False)
 
         if expire_keep is not None:
             # bound snapshot storage: per state table the store keeps the
@@ -793,9 +914,10 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         n_pending = status_counts.get(fr.STATUS_PENDING, 0)
         if n_pending == 0:
             break
-        if frontier_delta.limit(1).count() == 0:
+        if n_delta == 0:
             # nothing changed this wave (no discoveries, no admissions —
-            # e.g. every eligible host is trap-contained). If no pending row
+            # e.g. every eligible host is trap-contained; n_delta comes
+            # free from the metrics aggregate). If no pending row
             # is waiting on a future next_eligible either, the state is at a
             # fixpoint: later waves would replay this one forever. Stop
             # instead of burning max_waves empty barriers (rows stay

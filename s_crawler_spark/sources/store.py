@@ -93,6 +93,94 @@ class SnapshotStore:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, path)  # atomic on POSIX
 
+    # -- durable wave pointer: the multi-table transaction boundary ----------
+    #
+    # One crawl wave commits ~10 tables sequentially; each per-table commit
+    # is individually atomic (manifest rename), but a crash BETWEEN two of
+    # them tears the wave — e.g. the frontier snapshot marks URLs done while
+    # their articles snapshot never landed, and a naive resume at
+    # latest_wave+1 silently loses those rows forever. The Iceberg analogue
+    # is a multi-table transaction: stage every table's snapshot, then flip
+    # ONE pointer. Here the pointer is ``COMMITTED.json`` at the store root,
+    # atomically renamed AFTER the wave's last per-table commit. Per-table
+    # snapshots with wave > pointer were never acknowledged: resume calls
+    # ``rollback_to_committed`` to drop them and re-runs the torn wave from
+    # the committed boundary (commits are wave-keyed idempotent overwrites,
+    # built for exactly this re-run).
+
+    # tables the crawl loop commits EVERY wave regardless of feature flags —
+    # the legacy-store fallback (no pointer file) infers the newest COMPLETE
+    # wave as the min of their latest waves (flag-gated tables like
+    # host_policy / trap_state may legitimately lag and are excluded)
+    WAVE_TABLES = ("frontier", "articles", "seen", "candidates",
+                   "seen_shards", "fetch_log", "lineage", "phase_log")
+
+    def _committed_path(self) -> str:
+        return os.path.join(self.root, "COMMITTED.json")
+
+    def mark_wave_committed(self, wave: int) -> None:
+        """Atomically advance the durable wave pointer: every per-table
+        snapshot of ``wave`` is now acknowledged as one transaction. Call
+        AFTER the wave's last per-table commit and BEFORE expiry (expiring
+        first could drop the base a rollback of this wave would need)."""
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"wave": wave}, f)
+        os.replace(tmp, self._committed_path())
+
+    def committed_wave(self) -> int | None:
+        """Newest durably-committed wave, or None (fresh or legacy store)."""
+        try:
+            with open(self._committed_path()) as f:
+                return json.load(f)["wave"]
+        except FileNotFoundError:
+            return None
+
+    def rollback_to_committed(self) -> int | None:
+        """Drop every snapshot of every table newer than the committed wave
+        pointer (torn by a mid-wave crash — never acknowledged, so removing
+        them is invisible to any reader that followed the protocol), and
+        return the committed wave (None = nothing committed: the store is
+        fresh, or the crash landed inside wave 0 / a legacy store's very
+        first wave — resume restarts from wave 0).
+
+        Legacy stores (predating the pointer file) fall back to
+        ``min(latest_wave(t))`` over the WAVE_TABLES that exist: the old
+        loop committed that whole set every wave (frontier FIRST), so the
+        min over the present ones is the newest wave whose commits all
+        landed — which also heals a legacy store torn by the old
+        frontier-first protocol (the orphaned frontier snapshot is rolled
+        back and the wave re-runs instead of losing its articles), and
+        leaves an externally-seeded store (a frontier committed directly,
+        no sibling tables yet) untouched. The one case the fallback cannot
+        see — a legacy store torn inside its very FIRST wave, before some
+        sibling table existed at all — is closed for every pointer-era
+        store: the crawl loop arms the pointer (wave −1) before its first
+        commit.
+        """
+        import shutil
+
+        cw = self.committed_wave()
+        if cw is None:
+            waves = [w for w in (self.latest_wave(t) for t in self.WAVE_TABLES)
+                     if w is not None]
+            cw = min(waves) if waves else None
+        for t in self.tables():
+            manifest = self._load_manifest(t)
+            snaps = manifest["snapshots"]
+            kept = [s for s in snaps
+                    if cw is not None and s["wave"] <= cw]
+            if len(kept) == len(snaps):
+                continue
+            manifest["snapshots"] = kept
+            self._write_manifest(t, manifest)
+            live = {os.path.basename(s["path"]) for s in kept}
+            tdir = os.path.join(self.root, t)
+            for d in os.listdir(tdir):
+                if d.startswith("snap-") and d not in live:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        return cw
+
     # -- public API ----------------------------------------------------------
     def commit(self, df: DataFrame, table: str, wave: int,
                meta: dict | None = None,

@@ -522,19 +522,30 @@ def main() -> int:
          "BroadcastHashJoin" in p18 and "SortMergeJoin" not in p18),
     ])
 
-    # the frontier's full snapshots partition by status (wave.crawl passes
-    # partition_by=["status"]): the eligible-pending admission filter must
-    # reach the base scan as a PARTITION filter, so done/failed files are
-    # never read at a mostly-done 10^10-row frontier
-    st.commit(fr_aud, "frontier_p", 0, partition_by=["status"])
-    st.commit_delta(fr_aud.limit(20).withColumn("status", F.lit("done")),
+    # the frontier's full snapshots partition by (status,
+    # next_eligible_bucket) (wave.crawl's compaction commit): the
+    # eligible-pending admission scan must reach the base scan with BOTH
+    # partition filters, so done/failed files AND pending files whose rows
+    # are backoff/trap-delayed into future buckets are never read at a
+    # mostly-done 10^10-row frontier
+    from s_crawler_spark.operators import frontier as fr_ops
+    t_aud = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    fr_audp = fr_aud.withColumn("next_eligible", t_aud).withColumn(
+        "next_eligible_bucket", fr_ops.eligible_bucket(F.col("next_eligible")))
+    st.commit(fr_audp, "frontier_p", 0,
+              partition_by=["status", "next_eligible_bucket"])
+    st.commit_delta(fr_audp.limit(20).withColumn("status", F.lit("done")),
                     "frontier_p", 1, key=["url_hash"])
-    p18b = plan_of(st.read(spark, "frontier_p")
-                   .filter(F.col("status") == "pending"))
+    p18b = plan_of(fr_ops.eligible_pending(st.read(spark, "frontier_p"),
+                                           "2024-06-01 01:00:00"))
     all_ok &= audit("partitioned frontier base (admission pruning)", p18b, [
         ("status filter reaches the base scan as a PartitionFilter "
          "(pending-only file reads for admission)",
          bool(re.search(r"PartitionFilters: \[[^\]]*status[^\]]*pending",
+                        p18b))),
+        ("the coarse next_eligible bucket rides the same PartitionFilters "
+         "(future-delayed pending files pruned too)",
+         bool(re.search(r"PartitionFilters: \[[^\]]*next_eligible_bucket",
                         p18b))),
     ])
 
