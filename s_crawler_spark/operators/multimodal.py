@@ -2,18 +2,18 @@
 
 Image/audio/video payloads are `binary` columns with a `media_type`
 discriminator; decode / feature-extract / resize / frame-sample run as
-Arrow-batched kernels over ``mapInPandas``. The actual codecs (PIL/ffmpeg/
-librosa) are not in this container, so the decode step is STUBBED: if the
-library import fails we fall back to a clearly-marked deterministic fake
-derived from the payload bytes. The Spark-side plumbing — schema, UDF
-signature, batch shape, partitioning — is real and tested; swapping the
-fake for a real decoder changes only the body of ``_decode_one``.
+Arrow-batched kernels over ``mapInPandas``. Header decode is REAL for the
+dominant formats — PNG / JPEG / GIF / BMP / WAV header fields are stdlib
+``struct`` reads (functions/mediahdr.py), no codec libraries needed. Only
+payloads no header parser recognizes (video containers, which truly need
+ffmpeg/pyav) fall back to a clearly-marked deterministic fake derived from
+the payload bytes; a real deployment swaps that one branch.
 
 Scale notes: payload columns are the dominant bytes at 100 TB — metadata
-extraction projects them away immediately after the kernel, and the media
-table is stored with payloads in their own parquet column chunk so
-metadata-only queries never read them (column pruning verified via
-.explain ReadSchema).
+extraction projects them away immediately after the kernel (and header
+parsing reads O(1) bytes per payload), and the media table is stored with
+payloads in their own parquet column chunk so metadata-only queries never
+read them (column pruning verified via .explain ReadSchema).
 """
 
 from __future__ import annotations
@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions import mediahdr
 
 MEDIA_TYPES = ["image", "audio", "video"]
 
@@ -51,39 +53,70 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
+def _be32(c):
+    """4-byte big-endian binary of an int column (hex → unhex, JVM-side)."""
+    return F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+
+
+def _le_bytes(c, n: int):
+    """n-byte little-endian binary of an int column: per-byte hex/unhex
+    concat — all JVM column expressions, no Python in the row path."""
+    c = c.cast("bigint")
+    return F.concat(*[
+        F.unhex(F.lpad(F.hex(F.shiftrightunsigned(c, 8 * i) % 256), 2, "0"))
+        for i in range(n)])
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table from the documents fixture: the text bytes
-    stand in for an encoded payload; media_type rotates by doc_id % 3."""
+    are the payload BODY, wrapped in a REAL format header so the decode
+    kernel exercises the stdlib header parsers — image rows get a valid PNG
+    IHDR, audio rows a valid RIFF/WAVE fmt+data header (mono 16-bit PCM),
+    while video rows stay a bare byte blob (video containers are the one
+    stub left; functions/mediahdr.py). Header fields derive from the body
+    length n exactly as the old stub did (width = 16 + n % 640, ...), so
+    the DuckDB oracle recomputes them in closed form while the engine
+    round-trips them through real encode → parse. All header packing is
+    JVM column expressions (hex/unhex concat) — media_type rotates by
+    doc_id % 3."""
     mt = F.element_at(
         F.array(*[F.lit(m) for m in MEDIA_TYPES]),
         (F.col("doc_id") % 3 + 1).cast("int"))
+    body = F.encode(F.col("text"), "UTF-8")
+    n = F.length(body)
+    png = F.concat(
+        F.lit(mediahdr.PNG_MAGIC), F.lit(b"\x00\x00\x00\x0dIHDR"),
+        _be32(16 + n % 640), _be32(16 + (n * 7) % 480),
+        F.lit(b"\x08\x02\x00\x00\x00" + b"\x00" * 4), body)
+    rate = 8000 + (n % 5) * 8000
+    wav = F.concat(
+        F.lit(b"RIFF"), _le_bytes(36 + n, 4), F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4), _le_bytes(F.lit(1), 2), _le_bytes(F.lit(1), 2),
+        _le_bytes(rate, 4), _le_bytes(rate * 2, 4),
+        _le_bytes(F.lit(2), 2), _le_bytes(F.lit(16), 2),
+        F.lit(b"data"), _le_bytes(n, 4), body)
     return docs.select(
         F.col("doc_id"),
         mt.alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(mt == "image", png)
+        .when(mt == "audio", wav)
+        .otherwise(body).alias("payload"),
     )
-
-
-def _try_real_decoder():
-    try:  # pragma: no cover - PIL absent in this container by design
-        from PIL import Image  # noqa: F401
-        return Image
-    except ImportError:
-        return None
 
 
 def _decode_one(media_type: str, payload: bytes) -> dict:
     """Decode one payload to typed metadata.
 
-    STUB: with no codec libraries installed this returns a deterministic
-    fake derived from the byte length — real plumbing, fake decode. A real
-    deployment replaces the fake branches with PIL / soundfile / pyav calls.
-    """
+    Real path: a recognized PNG/JPEG/GIF/BMP/WAV head is parsed with
+    stdlib struct reads (functions/mediahdr.py). Fallback: payloads no
+    header parser recognizes (video containers — the one codec family that
+    truly needs libraries) get the documented deterministic fake derived
+    from the byte length; a real deployment replaces that branch with a
+    pyav/ffmpeg call."""
+    meta = mediahdr.parse_header(bytes(payload))
+    if meta is not None:
+        return meta
     n = len(payload)
-    pil = _try_real_decoder()
-    if pil is not None and media_type == "image":
-        raise NotImplementedError(
-            "real image decode path not exercised in this container")
     if media_type == "image":
         return {"width": 16 + n % 640, "height": 16 + (n * 7) % 480,
                 "sample_rate": None, "n_frames": None, "codec": "fake/png"}

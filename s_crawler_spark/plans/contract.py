@@ -1111,8 +1111,11 @@ SQL_EMBEDDING_LABEL_STATS = (
 
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload + typed metadata via Arrow-batched
-    mapInPandas decode (decode itself is a deterministic stub — see
-    operators/multimodal.py)."""
+    mapInPandas decode. Image/audio payloads carry REAL PNG / RIFF-WAVE
+    headers (packed JVM-side from the body length n) and the kernel parses
+    them back with stdlib struct reads (functions/mediahdr.py) — the oracle
+    recomputes the same fields in closed form from n, so a broken encoder
+    OR parser breaks the match. Video stays the documented byte-blob stub."""
     media = mm.media_from_documents(_docs(spark, sf_dir))
     return mm.extract_media_meta(media)
 
@@ -1121,12 +1124,13 @@ SQL_MULTIMODAL_META = """
 WITH m AS (SELECT doc_id, ['image','audio','video'][(doc_id % 3 + 1)::INT] AS media_type,
                   octet_length(encode(text))::INT AS n
            FROM documents)
-SELECT doc_id, media_type, n AS n_bytes,
+SELECT doc_id, media_type,
+  (n + CASE media_type WHEN 'image' THEN 33 WHEN 'audio' THEN 44 ELSE 0 END)::INT AS n_bytes,
   CASE media_type WHEN 'image' THEN 16 + n % 640 WHEN 'video' THEN 16 + n % 320 END::INT AS width,
   CASE media_type WHEN 'image' THEN 16 + (n * 7) % 480 WHEN 'video' THEN 16 + (n * 3) % 240 END::INT AS height,
   CASE media_type WHEN 'audio' THEN 8000 + (n % 5) * 8000 END::INT AS sample_rate,
-  CASE media_type WHEN 'video' THEN 1 + n % 5 END::INT AS n_frames,
-  CASE media_type WHEN 'image' THEN 'fake/png' WHEN 'audio' THEN 'fake/pcm' ELSE 'fake/h264' END AS codec
+  CASE media_type WHEN 'audio' THEN n // 2 WHEN 'video' THEN 1 + n % 5 END::INT AS n_frames,
+  CASE media_type WHEN 'image' THEN 'png' WHEN 'audio' THEN 'wav' ELSE 'fake/h264' END AS codec
 FROM m
 """
 

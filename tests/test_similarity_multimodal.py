@@ -106,20 +106,70 @@ def media(spark):
     return mm.media_from_documents(docs)
 
 
-def test_media_meta_stub_formulas(media):
+def test_media_meta_header_roundtrip(media):
+    """Image/audio payloads carry REAL PNG / WAVE headers packed JVM-side;
+    the kernel must parse the fields back with the stdlib header readers —
+    a broken encoder or parser breaks the body-length formulas."""
     metas = mm.extract_media_meta(media).collect()
     assert len(metas) == media.count()
     for r in metas[:100]:
-        n = r["n_bytes"]
         if r["media_type"] == "image":
+            n = r["n_bytes"] - 33  # PNG header bytes
+            assert r["codec"] == "png"
             assert r["width"] == 16 + n % 640
             assert r["height"] == 16 + (n * 7) % 480
             assert r["sample_rate"] is None and r["n_frames"] is None
         elif r["media_type"] == "audio":
+            n = r["n_bytes"] - 44  # RIFF/WAVE header bytes
+            assert r["codec"] == "wav"
             assert r["sample_rate"] == 8000 + (n % 5) * 8000
+            assert r["n_frames"] == n // 2  # mono 16-bit PCM frames
             assert r["width"] is None
         else:
+            n = r["n_bytes"]
+            assert r["codec"] == "fake/h264"  # the one stub left (no pyav)
             assert r["n_frames"] == 1 + n % 5
+
+
+def test_header_parsers_on_real_payloads():
+    """The stdlib header parsers against hand-built AND canonical payloads:
+    every encoder round-trips, and a known-good byte string (the classic
+    1×1 transparent PNG) parses without our own encoder in the loop."""
+    from s_crawler_spark.functions import mediahdr as mh
+    import base64
+
+    assert mh.parse_header(mh.png_bytes(640, 480, b"xyz")) == {
+        "width": 640, "height": 480, "sample_rate": None,
+        "n_frames": None, "codec": "png"}
+    assert mh.parse_header(mh.jpeg_bytes(1024, 768)) == {
+        "width": 1024, "height": 768, "sample_rate": None,
+        "n_frames": None, "codec": "jpeg"}
+    assert mh.parse_header(mh.gif_bytes(320, 200)) == {
+        "width": 320, "height": 200, "sample_rate": None,
+        "n_frames": None, "codec": "gif"}
+    assert mh.parse_header(mh.bmp_bytes(800, 600)) == {
+        "width": 800, "height": 600, "sample_rate": None,
+        "n_frames": None, "codec": "bmp"}
+    assert mh.parse_header(mh.wav_bytes(44100, b"\x00" * 10)) == {
+        "width": None, "height": None, "sample_rate": 44100,
+        "n_frames": 5, "codec": "wav"}
+    # canonical 1x1 PNG (public-domain minimal fixture)
+    png_1x1 = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+        b"YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    got = mh.parse_header(png_1x1)
+    assert got["width"] == 1 and got["height"] == 1 and got["codec"] == "png"
+    # JPEG with fill bytes and an APP0 segment before SOF0 (marker scan)
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    jpg = b"\xff\xd8" + app0 + mh.jpeg_bytes(12, 34)[2:]
+    assert mh.parse_header(jpg)["width"] == 12
+    # top-down BMP (negative height) reports absolute height
+    bmp = bytearray(mh.bmp_bytes(10, 20))
+    bmp[22:26] = struct.pack("<i", -20)
+    assert mh.parse_header(bytes(bmp))["height"] == 20
+    # unrecognized bytes → None (callers fall back to the video stub)
+    assert mh.parse_header(b"plain text payload") is None
 
 
 def test_media_meta_drops_payload_column(media):
