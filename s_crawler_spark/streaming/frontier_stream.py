@@ -168,6 +168,15 @@ _STATE_SCHEMA = T.StructType([
 
 
 def _make_admission_fn(crawl_delay_ms: int, burst: int):
+    # the state columns are DoubleType: every value written into them must
+    # be a real Python float. An int (e.g. min(burst, ...) returning the
+    # int burst itself at steady state) serializes, but restores as NULL
+    # after a query RESTART — the bucket silently loses its state two
+    # restarts in. Found by the streaming↔batch crawl-order cross-check
+    # (tests/test_streaming.py); keep burst float inside the closure and
+    # cast the update tuple explicitly.
+    burst = float(burst)
+
     def admit(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         # per-host accrual rate from the row-decorated policy (parity with
         # compose_wave: each host earns tokens at 1000/its own delay). The
@@ -177,7 +186,7 @@ def _make_admission_fn(crawl_delay_ms: int, burst: int):
         if state.exists:
             tokens, last_epoch = state.get
         else:
-            tokens, last_epoch = float(burst), None
+            tokens, last_epoch = burst, None
         rows = pd.concat(list(pdfs)).sort_values("seq")
         d = rows["__delay_ms"].dropna()
         rate = 1000.0 / (float(d.iloc[0]) if len(d) else crawl_delay_ms)
@@ -188,7 +197,7 @@ def _make_admission_fn(crawl_delay_ms: int, burst: int):
             tokens = min(burst, tokens + rate * max(0.0, now_epoch - last_epoch))
         n_admit = int(tokens)
         admitted = rows.head(n_admit)
-        state.update((tokens - len(admitted), now_epoch))
+        state.update((float(tokens - len(admitted)), float(now_epoch)))
         yield pd.DataFrame({
             "host": admitted["host"] if len(admitted) else pd.Series([], dtype=object),
             "url": admitted["url"],

@@ -248,3 +248,73 @@ def test_stream_status_decode_roundtrip_hive_escapes(spark, tmp_path):
     got = {r["seq"]: r["status"]
            for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {i: s for i, s in enumerate(statuses)}
+
+
+def test_streaming_admission_matches_batch_crawl_order(spark, pages, tmp_path):
+    """Streaming↔batch cross-check: the stateful token-bucket admission,
+    driven epoch-by-epoch over the SAME corpus under ONE uniform policy,
+    must admit exactly the batch crawl loop's (host, url, wave) triples.
+
+    Alignment argument: with a uniform delay d and wave cadence s where
+    b = s·1000/d is an integer ≤ burst, compose_wave's per-host wave budget
+    is b and the token bucket accrues exactly b tokens per epoch (capped at
+    burst = b), both draining in seq order — so the two faces must pick the
+    same rows every wave. The streaming feed is SELF-driven: each epoch
+    re-offers only the urls the STREAM has not yet admitted (the frontier's
+    pending set), so the batch side never leaks into the streaming input —
+    only the final triple sets are compared."""
+    import datetime as dt
+    from urllib.parse import urlparse
+
+    from s_crawler_spark.operators import politeness as po
+    from s_crawler_spark.plans.wave import crawl
+    from s_crawler_spark.sources.store import SnapshotStore
+
+    # --- batch face: real loop, uniform 1 s delay, 100 s waves → b = 100
+    hosts = sorted(r["host"] for r in pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("host")).distinct().collect())
+    policy = po.default_host_policy(spark, hosts, crawl_delay_ms=1000)
+    store = SnapshotStore(str(tmp_path / "batch"))
+    crawl(spark, pages, seed_search_url(), store, wave_seconds=100,
+          max_waves=30, n_shards=4, host_policy=policy)
+    batch_triples = set()
+    for s in store.snapshots("articles"):
+        for r in store.read_snapshot_raw(spark, "articles", s["wave"]) \
+                      .select("url").collect():
+            batch_triples.add((urlparse(r["url"]).netloc, r["url"], s["wave"]))
+    n_waves = max(w for _, _, w in batch_triples) + 1
+    assert n_waves >= 3  # the budget genuinely spreads the head host out
+
+    # --- streaming face: one epoch per wave, self-driven pending re-offers
+    frontier = {r["url"]: (r["host"], r["seq"]) for r in
+                store.read(spark, "frontier")
+                .select("url", "host", "seq").collect()}
+    t0 = dt.datetime(2024, 6, 1)
+    offers = tmp_path / "offers"
+    out, ckpt = str(tmp_path / "adm"), str(tmp_path / "adm_ckpt")
+    admitted: set[str] = set()
+    for epoch in range(n_waves + 2):
+        pending = sorted(u for u in frontier if u not in admitted)
+        if not pending:
+            break
+        ts = t0 + dt.timedelta(seconds=100 * epoch)
+        rows = [(u, None, frontier[u][0], 0, epoch, frontier[u][1],
+                 "pending", 0, None, ts, ts) for u in pending]
+        spark.createDataFrame(rows, fs.FRONTIER_STREAM_SCHEMA) \
+            .coalesce(1).write.parquet(str(offers / f"epoch={epoch}"))
+        adm = fs.politeness_admission(
+            fs.stream_discoveries(spark, str(offers)),
+            crawl_delay_ms=1000, burst=100)
+        q = (adm.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        admitted = {r["url"]
+                    for r in spark.read.parquet(out).select("url").collect()}
+
+    stream_triples = {
+        (r["host"], r["url"],
+         int((r["admitted_at"] - t0).total_seconds()) // 100)
+        for r in spark.read.parquet(out).collect()}
+    assert len(stream_triples) == len(frontier)
+    assert stream_triples == batch_triples
