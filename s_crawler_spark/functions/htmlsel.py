@@ -44,7 +44,10 @@ class Element:
     # leaves and most carry no text, so eagerly allocating two lists per
     # element doubles the parser's allocation rate — pure memory-bandwidth
     # cost on Common-Crawl-weight pages (the 4→16-core scaling limiter on a
-    # single box). Use ``el.children or ()`` to iterate.
+    # single box). Use ``el.children or ()`` to iterate. _texts holds the
+    # SINGLE chunk as a bare str (the overwhelmingly common case — one text
+    # run per element) and promotes to a list only on a second chunk, so a
+    # text-bearing element costs zero extra allocations, not one list.
     __slots__ = ("tag", "attrs", "children", "parent", "_texts", "_classes",
                  "_ord", "_ord_end", "_indexes")
 
@@ -80,14 +83,24 @@ class Element:
                 stack.extend(reversed(node.children))
 
     def _collect_text(self, out):
-        if self._texts:
-            out.extend(self._texts)
+        t = self._texts
+        if t is not None:
+            if type(t) is str:
+                out.append(t)
+            else:
+                out.extend(t)
         if self.children:
             for ch in self.children:
                 ch._collect_text(out)
 
     @property
     def text(self):
+        if self.children is None:  # leaf fast path: no accumulator list
+            t = self._texts
+            if t is None:
+                return ""
+            if type(t) is str:
+                return _WS_RE.sub(" ", t).strip()
         out = []
         self._collect_text(out)
         return _WS_RE.sub(" ", "".join(out)).strip()
@@ -133,10 +146,7 @@ class _DomBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
-            top = self._stack[-1]
-            if top._texts is None:
-                top._texts = []
-            top._texts.append(data)
+            _add_text(self._stack[-1], data)
 
 
 def parse_html_stdlib(html):
@@ -260,10 +270,13 @@ def _parse_attrs(s):
 
 
 def _add_text(el, text):
-    if el._texts is None:
-        el._texts = [text]
+    t = el._texts
+    if t is None:
+        el._texts = text          # single chunk: bare str, no list
+    elif type(t) is str:
+        el._texts = [t, text]     # second chunk: promote
     else:
-        el._texts.append(text)
+        t.append(text)
 
 
 def parse_html(html):
@@ -310,10 +323,13 @@ def parse_html(html):
             if "&" in text:
                 text = _unescape(text)
             top = stack[-1]  # inlined _add_text (hottest call site)
-            if top._texts is None:
-                top._texts = [text]
+            t = top._texts
+            if t is None:
+                top._texts = text
+            elif type(t) is str:
+                top._texts = [t, text]
             else:
-                top._texts.append(text)
+                t.append(text)
         # dispatch on the char after '<' instead of a 4-branch alternation
         c = html[lt + 1] if lt + 1 < n else ""
         if "a" <= c <= "z" or "A" <= c <= "Z":
@@ -602,6 +618,22 @@ def _iter_matches(scope, compiled):
         root = root.parent
     class_idx, tag_idx, id_idx = _ensure_index(root)
     lo, hi = scope._ord, scope._ord_end
+
+    if len(compiled) == 1:
+        # single-chain probe (the extraction cascades are all single
+        # selectors): skip the plans list + per-chain tuple allocations —
+        # probes run once per card per cascade entry, so the per-probe
+        # constant rides the hot path
+        chain = compiled[0]
+        lst = _candidate_list(chain[-1][1], class_idx, tag_idx, id_idx)
+        if lst is not None:
+            li = len(chain) - 1
+            last = chain[li][1]
+            for el in lst:
+                if lo < el._ord <= hi and last.matches(el) \
+                        and _matches_chain(el, chain, li):
+                    yield el
+            return
 
     plans = []
     for chain in compiled:
