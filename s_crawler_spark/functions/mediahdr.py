@@ -83,7 +83,7 @@ def _parse_gif(p: bytes) -> dict | None:
 
 
 def _parse_bmp(p: bytes) -> dict | None:
-    if len(p) < 26:
+    if len(p) < 22:  # file header(14) + DIB size(4) + core w/h(2+2)
         return None
     dib = struct.unpack("<I", p[14:18])[0]
     if dib == 12:  # BITMAPCOREHEADER: u16 fields
@@ -119,21 +119,30 @@ def _parse_wav(p: bytes) -> dict | None:
             "n_frames": n_frames, "codec": "wav"}
 
 
-def parse_header(payload: bytes) -> dict | None:
+def parse_header(payload: bytes, media_type: str | None = None) -> dict | None:
     """Typed metadata from a recognized payload head, else None (caller
     falls back to the deterministic stub). Pure stdlib, header-only —
     never touches the body bytes, so cost is O(1) per payload regardless
-    of size (JPEG: O(metadata segments))."""
-    if payload.startswith(PNG_MAGIC):
-        return _parse_png(payload)
-    if payload.startswith(b"\xff\xd8\xff"):
-        return _parse_jpeg(payload)
-    if payload[:6] in GIF_MAGICS:
-        return _parse_gif(payload)
-    if payload.startswith(b"BM"):
-        return _parse_bmp(payload)
-    if payload.startswith(b"RIFF"):
-        return _parse_wav(payload)
+    of size (JPEG: O(metadata segments)).
+
+    A declared ``media_type`` restricts the sniff to that family's formats:
+    an image parser must never claim a video/audio payload whose body bytes
+    coincidentally start with a magic (e.g. a document beginning "BM…" —
+    _parse_bmp would happily read garbage dimensions out of it). Types with
+    no stdlib parser (video containers) return None outright so the caller's
+    deterministic fake stays authoritative for them."""
+    if media_type in (None, "image"):
+        if payload.startswith(PNG_MAGIC):
+            return _parse_png(payload)
+        if payload.startswith(b"\xff\xd8\xff"):
+            return _parse_jpeg(payload)
+        if payload[:6] in GIF_MAGICS:
+            return _parse_gif(payload)
+        if payload.startswith(b"BM"):
+            return _parse_bmp(payload)
+    if media_type in (None, "audio"):
+        if payload.startswith(b"RIFF"):
+            return _parse_wav(payload)
     return None
 
 

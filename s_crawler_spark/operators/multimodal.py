@@ -108,12 +108,14 @@ def _decode_one(media_type: str, payload: bytes) -> dict:
     """Decode one payload to typed metadata.
 
     Real path: a recognized PNG/JPEG/GIF/BMP/WAV head is parsed with
-    stdlib struct reads (functions/mediahdr.py). Fallback: payloads no
-    header parser recognizes (video containers — the one codec family that
-    truly needs libraries) get the documented deterministic fake derived
-    from the byte length; a real deployment replaces that branch with a
-    pyav/ffmpeg call."""
-    meta = mediahdr.parse_header(bytes(payload))
+    stdlib struct reads (functions/mediahdr.py), restricted to the row's
+    declared media_type family so a payload whose BODY bytes coincidentally
+    start with another family's magic is never misdecoded. Fallback:
+    payloads no header parser recognizes (video containers — the one codec
+    family that truly needs libraries) get the documented deterministic
+    fake derived from the byte length; a real deployment replaces that
+    branch with a pyav/ffmpeg call."""
+    meta = mediahdr.parse_header(bytes(payload), media_type)
     if meta is not None:
         return meta
     n = len(payload)

@@ -395,19 +395,30 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 .localCheckpoint(eager=False)
         if trap_guard:
             ts_wave = store.latest_wave("trap_state")
-            if ts_wave is not None and ts_wave == store.latest_wave("frontier"):
+            # per-table wave numbering is SPARSE (unchanged tables skip
+            # their commit), so trap_state legitimately lags the frontier
+            # after retry-only waves (n_delta > 0 but no enqueues and no
+            # departures — counts unmoved, commit skipped). The counts
+            # have actually drifted only if some later wave DID move them
+            # without folding (guard toggled off): enqueues commit
+            # `candidates` and departures commit `seen`, so those tables'
+            # latest waves bound the last count movement. Torn waves are
+            # already rolled back above, so no crash window reaches here.
+            moved = max((w for w in (store.latest_wave("candidates"),
+                                     store.latest_wave("seen"))
+                         if w is not None), default=None)
+            if ts_wave is not None and (moved is None or ts_wave >= moved):
                 trap_state_df = store.read(spark, "trap_state") \
                     .localCheckpoint(eager=False)
                 trap_base_ok = True
             else:
-                # table absent (store predates incremental trap state),
-                # LAGGING the frontier (guard toggled off for some waves,
-                # whose enqueues/departures were never folded), or a crash
-                # landed between the frontier and trap_state commits of one
-                # wave: the stored counts have drifted from the actual
-                # backlog, so re-seed from the frontier with ONE O(pending)
-                # scan this process — the same crash-window recovery rule
-                # as status_counts below. Incremental thereafter.
+                # table absent (store predates incremental trap state) or
+                # lagging a wave that moved the counts (guard toggled off
+                # for waves whose enqueues/departures were never folded):
+                # the stored counts have drifted from the actual backlog,
+                # so re-seed from the frontier with ONE O(pending) scan
+                # this process — the same recovery rule as status_counts
+                # below. Incremental thereafter.
                 trap_state_df = tp.update_trap_state(
                     None, added=frontier_df.filter(
                         F.col("status") == fr.STATUS_PENDING)) \
@@ -700,7 +711,14 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         delta_agg = frontier_delta.groupBy("status").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("wave") < wave, 1).otherwise(0))
-            .alias("n_prior")).collect()
+            .alias("n_prior"),
+            # same-wave enqueues that were NOT fetched this wave: still
+            # pending with zero attempts (a fetched one is either terminal
+            # or carries attempts >= 1). Prior rows enter the delta only
+            # via the results semi-join, so every one of them HAS an
+            # outcome — n_outcomes below falls out of the same aggregate.
+            F.sum(F.when((F.col("wave") == wave) & (F.col("attempts") == 0),
+                         1).otherwise(0)).alias("n_virgin")).collect()
         n_prior_changed = sum(r["n_prior"] for r in delta_agg)
         if n_prior_changed:
             status_counts[fr.STATUS_PENDING] = (
@@ -713,6 +731,13 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                      if r["status"] != fr.STATUS_PENDING)
         n_done = sum(r["n"] for r in delta_agg
                      if r["status"] == fr.STATUS_DONE)
+        # fetch outcomes this wave = every delta row except the unfetched
+        # same-wave enqueues. The batch can be ENTIRELY same-wave rows
+        # (enqueue stamps next_eligible = logical_now, so discoveries are
+        # admitted immediately) — n_prior_changed alone misses those.
+        n_outcomes = n_delta - sum(
+            r["n_virgin"] for r in delta_agg
+            if r["status"] == fr.STATUS_PENDING)
         metrics = spark.createDataFrame(
             [(s, n, wave) for s, n in sorted(status_counts.items()) if n != 0],
             "status string, count long, wave int")
@@ -815,14 +840,15 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             if is_full or store.latest_wave("host_policy") is None:
                 commit_task(po.adapt_host_policy(policy, host_results),
                             "host_policy")
-            elif n_prior_changed:
+            elif n_outcomes:
                 touched = policy.join(
                     F.broadcast(host_results.select("host").distinct()),
                     on="host", how="left_semi")
                 commit_task(po.adapt_host_policy(touched, host_results),
                             "host_policy", mode="delta", key=["host"])
-            # else: no outcomes this wave — no host's delay can change, so
-            # the delta would be empty; the stored policy stays current
+            # else: zero fetch outcomes this wave (prior OR same-wave
+            # rows) — no host's delay can change, so the delta would be
+            # empty; the stored policy stays current
         if trap_guard:
             # fold this wave's enqueues in and its pending-set departures
             # (done/retired rows — retried rows stay pending and stay

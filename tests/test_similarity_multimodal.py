@@ -211,3 +211,30 @@ def test_vectorized_topk_matches_jvm_exact(emb):
                for r in sim.topk_vectorized(emb, q, k=5).collect())
     assert [x[:3] for x in a] == [x[:3] for x in b]
     assert all(abs(x[3] - y[3]) <= 1e-4 for x, y in zip(a, b))
+
+
+def test_parse_header_respects_declared_media_family():
+    """The sniff is gated by the row's declared media_type: a payload whose
+    BODY bytes coincidentally start with another family's magic must not be
+    misdecoded (a 'BM…' document is not a bitmap; video has no stdlib
+    parser at all, so the deterministic fake stays authoritative)."""
+    from s_crawler_spark.functions import mediahdr as mh
+    from s_crawler_spark.operators.multimodal import _decode_one
+
+    bm_text = b"BMW recalls 2026 models over parsing defects"
+    assert mh.parse_header(bm_text) is not None          # sniff-all form
+    assert mh.parse_header(bm_text, "video") is None     # family-gated
+    assert mh.parse_header(bm_text, "audio") is None
+    wav = mh.wav_bytes(44100, b"\x00" * 4)
+    assert mh.parse_header(wav, "image") is None
+    assert mh.parse_header(wav, "audio")["codec"] == "wav"
+    png = mh.png_bytes(2, 3)
+    assert mh.parse_header(png, "image")["codec"] == "png"
+    assert mh.parse_header(png, "video") is None
+    # the decode kernel: a video payload with an image magic gets the
+    # documented deterministic fake, never a garbage BMP decode
+    meta = _decode_one("video", bm_text)
+    n = len(bm_text)
+    assert meta["codec"] == "fake/h264"
+    assert meta["width"] == 16 + n % 320
+    assert meta["n_frames"] == 1 + n % 5

@@ -642,3 +642,83 @@ def test_crawl_with_no_matching_seed_terminates_gracefully(spark, tmp_path):
                 wave_seconds=3600, max_waves=5, n_shards=4)
     assert cat is None or cat.count() == 0
     assert store.read(spark, "frontier").count() == 0
+
+
+def test_adaptation_persists_on_samewave_enqueue_only_wave(spark, tmp_path):
+    """A non-compaction wave whose batch is ENTIRELY same-wave enqueues
+    (enqueue stamps next_eligible = logical_now, so discoveries are
+    admitted immediately) still has fetch outcomes: its AIMD policy
+    update must be committed as a keyed delta, not skipped as
+    'no outcomes' just because no PRIOR pending row changed."""
+    from s_crawler_spark import corpus as cp
+
+    def mk_pages(hosts):
+        docs = [dict(doc_id=i, detail_href=f"https://{h}/d{i}",
+                     title=f"Doc {i}", journal="J", has_journal_span=True,
+                     date_text="01 Jan 2020", authors=["A B"])
+                for i, h in enumerate(hosts)]
+        html = cp.render_search_page(
+            1, [cp.render_card(d) for d in docs], has_next=False)
+        return spark.createDataFrame(
+            [(cp.seed_search_url(), bytearray(html.encode()))],
+            "url string, html binary")
+
+    store = SnapshotStore(str(tmp_path / "samewave"))
+    # wave 0 (compaction): d0 on h1 is admitted (budget 1s/1000ms = 1),
+    # its detail page is absent so the fetch fails -> attempts=1, backoff
+    # pushes next_eligible 2s out, beyond wave 1's logical_now (+1s)
+    crawl(spark, mk_pages(["h1.example"]), seed_search_url(), store,
+          wave_seconds=1, max_waves=1, n_shards=2, adaptive_delay=True)
+    assert store.latest_wave("host_policy") == 0
+    pol0 = {r["host"]: r["crawl_delay_ms"]
+            for r in store.read(spark, "host_policy").collect()}
+    assert pol0 == {"h1.example": 2000}  # failure doubled the default
+    # wave 1 (resumed, NOT a compaction wave): the grown corpus adds d1 on
+    # a fresh host; d0 is still backoff-delayed, so the wave's batch is
+    # exactly the same-wave enqueue {d1} -> n_prior_changed == 0 while a
+    # real fetch outcome (failure on h2) exists
+    crawl(spark, mk_pages(["h1.example", "h2.example"]), seed_search_url(),
+          store, wave_seconds=1, max_waves=2, n_shards=2,
+          adaptive_delay=True)
+    assert store.latest_wave("host_policy") == 1, \
+        "same-wave-enqueue outcomes must commit a policy update"
+    pol1 = {r["host"]: r["crawl_delay_ms"]
+            for r in store.read(spark, "host_policy").collect()}
+    assert pol1["h2.example"] == 2000  # default 1000 doubled by the failure
+    assert pol1["h1.example"] == 2000  # no outcome for h1 -> unchanged
+    snaps = [s for s in store.snapshots("host_policy") if s["wave"] == 1]
+    assert snaps and snaps[0]["mode"] == "delta"
+
+
+def test_retry_only_wave_keeps_trap_state_incremental_on_resume(
+        spark, pages, pages_dict, tmp_path):
+    """Per-table wave numbering is sparse: a retry-only wave (failures
+    re-fetched, nothing enqueued, nothing terminal) skips the trap_state
+    commit because the counts did not move. A resume right after such a
+    wave must recognize the stored counts as current — not force an
+    O(pending) re-seed plus a full all-hosts rewrite."""
+    broken = pages.filter(
+        ~(F.col("url").contains("/doi/epdf/") & (F.xxhash64("url") % 17 == 0)))
+    broken_dict = {r["url"]: bytes(r["html"])
+                   for r in broken.select("url", "html").collect()}
+    sim, _ = simulate_crawl(broken_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "retryonly"))
+    # wave 0: enqueue everything, mixed outcomes; wave 1: ONLY retries
+    # (backoff 2s < wave_seconds) -> frontier delta commits, trap_state
+    # (and seen/candidates) legitimately stay at wave 0
+    broken = broken.localCheckpoint()
+    crawl(spark, broken, seed_search_url(), store,
+          wave_seconds=3600, max_waves=2, n_shards=4, trap_guard=True)
+    assert store.latest_wave("frontier") == 1
+    assert store.latest_wave("trap_state") == 0
+    assert store.latest_wave("candidates") == 0
+    assert store.latest_wave("seen") == 0
+    # resume: wave 2 retires the retried rows (attempts=3) -> trap_state
+    # commits; with the stored base recognized as current it must be a
+    # touched-host keyed DELTA, not a re-seeded full snapshot
+    cat = crawl(spark, broken, seed_search_url(), store,
+                wave_seconds=3600, max_waves=12, n_shards=4, trap_guard=True)
+    assert_parity(cat.collect(), sim)
+    snaps = [s for s in store.snapshots("trap_state") if s["wave"] == 2]
+    assert snaps and snaps[0]["mode"] == "delta", \
+        "resume after a retry-only wave must not re-seed trap_state"
