@@ -165,11 +165,18 @@ class SnapshotStore:
             waves = [w for w in (self.latest_wave(t) for t in self.WAVE_TABLES)
                      if w is not None]
             cw = min(waves) if waves else None
+        if cw is None:
+            # no pointer AND no loop-written wave tables: the loop never ran
+            # on this store (it arms the pointer before its very first
+            # commit), so every snapshot present — e.g. a pre-seeded
+            # host_policy dimension — is external seeding, not a torn wave.
+            # Nothing to roll back; dropping them would silently delete
+            # user data on the default resume=True path.
+            return None
         for t in self.tables():
             manifest = self._load_manifest(t)
             snaps = manifest["snapshots"]
-            kept = [s for s in snaps
-                    if cw is not None and s["wave"] <= cw]
+            kept = [s for s in snaps if s["wave"] <= cw]
             if len(kept) == len(snaps):
                 continue
             manifest["snapshots"] = kept

@@ -160,6 +160,21 @@ def test_rollback_empty_store_is_noop(tmp_path):
     assert st.committed_wave() is None
 
 
+def test_rollback_preserves_nonwave_only_seed(spark, tmp_path):
+    """A store holding ONLY non-wave tables (e.g. a pre-seeded host_policy
+    dimension, committed before the loop ever ran) has no pointer and no
+    WAVE_TABLES to infer one from — that is external seeding, not a torn
+    wave. rollback (which crawl's default resume=True always runs first)
+    must leave it untouched, not wipe it."""
+    st = SnapshotStore(str(tmp_path / "dims"))
+    one = spark.range(1).select(F.lit("h").alias("host"))
+    st.commit(one, "host_policy", 0)
+    st.commit(one, "trap_state", 3)
+    assert st.rollback_to_committed() is None
+    assert st.latest_wave("host_policy") == 0
+    assert st.latest_wave("trap_state") == 3
+
+
 def test_armed_pointer_rolls_back_torn_wave_zero(spark, tmp_path):
     """crawl() arms the pointer at −1 before its first commit, so a kill
     inside wave 0 (some tables committed, pointer never flipped) must roll
