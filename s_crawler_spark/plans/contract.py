@@ -1738,8 +1738,13 @@ def q_multiwave_crawl(spark, sf_dir):
     from ..sources.store import SnapshotStore
     pages = _pages(spark, sf_dir)
     store = SnapshotStore(tempfile.mkdtemp(prefix="scrawl_wave_"))
+    # max_waves is a CAP, not a schedule — the loop breaks at the drained
+    # fixpoint, so the cap must exceed the drain at every checked sf (the
+    # politeness budget admits a fixed count per host per wave, so waves
+    # scale with corpus size: ~3 at sf0.01, ~24 at sf0.1; 12 truncated the
+    # sf0.1 catalog to 3300/5000 rows). 50 costs nothing at small sf.
     cat = wv.crawl(spark, pages, seed_search_url(), store,
-                   wave_seconds=150, max_waves=12, n_shards=4)
+                   wave_seconds=150, max_waves=50, n_shards=4)
     return cat.select("seq", "doi", "title", "content_md5")
 
 
