@@ -170,8 +170,20 @@ def resolve_redirects(redirects: DataFrame, max_hops: int = 16,
 def host_rank_rollup(ranks: DataFrame, url_col: str = "url") -> DataFrame:
     """Host-level authority: sum of member-URL ranks (integer, exact).
     Feed into politeness.compose_wave as a priority source: budget goes to
-    high-authority hosts' pages first within each wave."""
-    host = F.regexp_extract(F.col(url_col), r"^https?://([^/]+)", 1)
+    high-authority hosts' pages first within each wave.
+
+    The rollup key MUST be ``scalars.url_host`` (parse_url HOST) — the
+    same derivation as ``frontier.enqueue``'s host column — because the
+    downstream consumer is ``apportion_budget`` → ``compose_wave``'s
+    host_budget join against frontier hosts: a bare authority regexp that
+    keeps userinfo/port would put a ``user@host``/``host:8080`` URL's
+    authority under a key the admission join never matches, and under an
+    explicit host_budget an unmatched host is admitted NOWHERE (budget 0)
+    — silent starvation, the same key-mismatch class as the round-4
+    traps.host fix."""
+    from ..functions import scalars
+
+    host = scalars.url_host(F.col(url_col))
     return (ranks.groupBy(host.alias("host"))
             .agg(F.sum("rank").alias("host_rank"),
                  F.count("*").alias("n_urls")))

@@ -1335,8 +1335,10 @@ def _sql_url_pagerank() -> str:
 
 
 def _sql_host_authority() -> str:
+    # host = parse_url(url, 'HOST') semantics: userinfo and port stripped
+    # (the frontier/politeness key — linkgraph.host_rank_rollup docstring)
     return f"""WITH {_sql_pagerank_cte()}
-SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+SELECT regexp_extract(url, '^https?://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS host,
        sum(rank)::BIGINT AS host_rank, count(*) AS n_urls
 FROM r5 GROUP BY 1"""
 
@@ -1406,7 +1408,7 @@ def q_authority_budget(spark, sf_dir):
 def _sql_authority_budget() -> str:
     return f"""WITH {_sql_pagerank_cte()},
 hr AS (
-  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+  SELECT regexp_extract(url, '^https?://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS host,
          sum(rank)::BIGINT AS host_rank
   FROM r5 GROUP BY 1),
 b AS (

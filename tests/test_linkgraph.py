@@ -76,6 +76,26 @@ def test_host_rollup_sums_members(spark):
     assert roll["b.org"] == (seq["https://b.org/1"], 1)
 
 
+def test_host_rollup_key_matches_frontier_host(spark):
+    """The rollup key must be parse_url(HOST) — identical to the host the
+    frontier stamps at enqueue — or a userinfo/port URL's authority lands
+    under a key compose_wave's host_budget join never matches (budget 0 =
+    silent starvation under an explicit allocation)."""
+    from pyspark.sql import functions as F
+
+    from s_crawler_spark.operators import frontier as fr
+
+    edges = [("https://user@a.org:8443/1", "https://a.org/2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    roll = lg.host_rank_rollup(lg.pagerank(df, n_iter=1))
+    cand = spark.createDataFrame(
+        [("https://user@a.org:8443/1", 0, 0)],
+        "url string, page_num int, card_idx int")
+    fhost = fr.enqueue(cand, 0, "2024-01-01").select("host").collect()[0][0]
+    hosts = {r["host"] for r in roll.collect()}
+    assert fhost in hosts  # the authority key set covers the frontier key
+
+
 def test_resolve_redirects_chain_and_cycle(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "T"),       # 3-chain to terminal
              ("x", "y"), ("y", "x"),                   # 2-cycle
