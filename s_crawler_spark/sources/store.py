@@ -350,6 +350,17 @@ class SnapshotStore:
                         | ~F.coalesce(F.expr(pred), F.lit(False)))
         return base.unionByName(du.drop("__ord", "__keyed"))
 
+    def _snap_dir(self, table: str, entry: dict) -> str:
+        """A snapshot entry's directory resolved against THIS store's root.
+        Manifests record the writer's absolute path, but a store directory
+        must be relocatable — backup/restore and crash-copy resume read a
+        COPY of the root, and following the stored absolute path would read
+        (or dangle on) the original writer's files. Reads therefore join
+        the snapshot basename onto the current root — the same rule
+        ``expire_snapshots``/``rollback_to_committed`` already use when
+        deleting orphans."""
+        return os.path.join(self.root, table, os.path.basename(entry["path"]))
+
     def read(self, spark: SparkSession, table: str,
              snapshot: int | None = None,
              as_of_wave: int | None = None) -> DataFrame | None:
@@ -370,7 +381,9 @@ class SnapshotStore:
         base_idx = max(
             (i for i, s in enumerate(snaps) if s.get("mode", "full") == "full"),
             default=0)
-        return self._compose(spark, snaps[base_idx:])
+        resolved = [dict(s, path=self._snap_dir(table, s))
+                    for s in snaps[base_idx:]]
+        return self._compose(spark, resolved)
 
     def read_snapshot_raw(self, spark: SparkSession, table: str,
                           wave: int) -> DataFrame | None:
@@ -379,7 +392,8 @@ class SnapshotStore:
         no composition."""
         entry = next((s for s in self._load_manifest(table)["snapshots"]
                       if s["wave"] == wave), None)
-        return spark.read.parquet(entry["path"]) if entry else None
+        return (spark.read.parquet(self._snap_dir(table, entry))
+                if entry else None)
 
     def snapshots(self, table: str) -> list[dict]:
         return self._load_manifest(table)["snapshots"]

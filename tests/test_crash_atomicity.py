@@ -114,6 +114,46 @@ def test_resume_after_crash_between_every_adjacent_commit_pair(
         shutil.rmtree(path)  # bound tmp usage across ~16 legs
 
 
+def test_resume_after_crash_with_expiry_pruned_history(
+        spark, pages, pages_dict, tmp_path):
+    """Crash windows on a store whose history expiry has already pruned.
+
+    The loop's ordering contract — pointer flip BEFORE expiry — exists so
+    expiry can never drop the base a rollback of the current wave needs.
+    The main test leaves expiry off; this one runs `expire_keep=1` (the
+    tightest bound: one full per state table survives each compaction) and
+    resumes from crash windows of the LAST two waves, where history is
+    maximally pruned — every rollback must recompose from the single
+    remaining full + deltas."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    kw = dict(KW, expire_keep=1)
+    rec = CopyOnCommitStore(str(tmp_path / "ref"), str(tmp_path / "copies"))
+    cat_ref = crawl(spark, pages, seed_search_url(), rec, max_waves=30, **kw)
+    assert_parity(cat_ref.collect(), sim)
+    n_waves = rec.latest_wave("frontier") + 1
+    assert n_waves >= 3
+    ref_frontier = frontier_state(spark, rec)
+    ref_policy = policy_state(spark, rec)
+
+    per_wave = {}
+    for path, table, wave in rec.log:
+        per_wave.setdefault(wave, []).append((path, table, wave))
+    last, prev = max(per_wave), max(per_wave) - 1
+    legs = list(per_wave[last])  # every window of the final wave
+    chain = per_wave.get(prev, [])
+    for j in {0, len(chain) // 2, len(chain) - 1}:  # edges of the one before
+        legs.append(chain[j])
+
+    for path, table, wave in legs:
+        st = SnapshotStore(path)
+        assert (st.committed_wave() or -1) < wave, (table, wave)
+        cat = crawl(spark, pages, seed_search_url(), st, max_waves=30, **kw)
+        assert_parity(cat.collect(), sim), (table, wave)
+        assert frontier_state(spark, st) == ref_frontier, (table, wave)
+        assert policy_state(spark, st) == ref_policy, (table, wave)
+        shutil.rmtree(path)
+
+
 def test_rollback_drops_only_uncommitted(spark, tmp_path):
     st = SnapshotStore(str(tmp_path / "s"))
     one = spark.range(1).select(F.lit("a").alias("k"))
@@ -152,6 +192,29 @@ def test_rollback_preserves_external_frontier_seed(spark, tmp_path):
     st.commit(one, "frontier", 0)
     assert st.rollback_to_committed() == 0
     assert st.latest_wave("frontier") == 0
+
+
+def test_relocated_store_reads_its_own_files(spark, tmp_path):
+    """Manifests record the writer's absolute snapshot paths, but reads
+    must resolve against the CURRENT root: a copied store (backup/restore,
+    crash-copy resume) read from its new location must never follow the
+    stored path back into the original root — with the original deleted
+    that dangles (PATH_NOT_FOUND), and with it alive it silently reads
+    another store's files."""
+    src = SnapshotStore(str(tmp_path / "orig"))
+    one = spark.range(3).select(F.col("id").alias("k"),
+                                F.lit("v0").alias("v"))
+    src.commit(one, "t", 0)
+    src.commit_delta(
+        spark.range(1).select(F.col("id").alias("k"), F.lit("v1").alias("v")),
+        "t", wave=1, key=["k"])
+    shutil.copytree(str(tmp_path / "orig"), str(tmp_path / "moved"))
+    shutil.rmtree(str(tmp_path / "orig"))
+    moved = SnapshotStore(str(tmp_path / "moved"))
+    got = sorted((r["k"], r["v"]) for r in moved.read(spark, "t").collect())
+    assert got == [(0, "v1"), (1, "v0"), (2, "v0")]
+    raw = moved.read_snapshot_raw(spark, "t", 1).collect()
+    assert [(r["k"], r["v"]) for r in raw] == [(0, "v1")]
 
 
 def test_rollback_empty_store_is_noop(tmp_path):
