@@ -655,17 +655,9 @@ def _iter_matches(scope, compiled):
                     break
         return
 
-    if len(plans) == 1:
-        chain, lst = plans[0]
-        li = len(chain) - 1
-        last = chain[li][1]
-        for el in lst:
-            if lo < el._ord <= hi and last.matches(el) \
-                    and _matches_chain(el, chain, li):
-                yield el
-        return
-
-    # selector list: merge candidates, dedupe, emit in document order
+    # selector list (the single-chain case returned above, either via the
+    # fast path or the full-walk fallback, so len(plans) >= 2 here):
+    # merge candidates, dedupe, emit in document order
     merged = {}
     for chain, lst in plans:
         li = len(chain) - 1

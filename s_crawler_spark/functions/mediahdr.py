@@ -60,7 +60,9 @@ def _parse_jpeg(p: bytes) -> dict | None:
         if marker == 0xFF:  # fill byte
             i += 1
             continue
-        if 0xD0 <= marker <= 0xD9:  # standalone RSTn/EOI — no length
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            # standalone TEM/RSTn/SOI/EOI — no length word follows;
+            # reading one would desync the scan by two arbitrary bytes
             i += 2
             continue
         seglen = struct.unpack(">H", p[i + 2:i + 4])[0]

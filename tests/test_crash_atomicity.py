@@ -107,7 +107,7 @@ def test_resume_after_crash_between_every_adjacent_commit_pair(
         # really torn: the pointer lags the newest snapshot of this wave
         assert (st.committed_wave() or -1) < wave, (table, wave)
         cat = crawl(spark, pages, seed_search_url(), st, max_waves=30, **KW)
-        assert_parity(cat.collect(), sim), (table, wave)
+        assert_parity(cat.collect(), sim, ctx=(table, wave))
         assert frontier_state(spark, st) == ref_frontier, (table, wave)
         assert policy_state(spark, st) == ref_policy, (table, wave)
         assert st.committed_wave() == n_waves - 1, (table, wave)
@@ -148,7 +148,7 @@ def test_resume_after_crash_with_expiry_pruned_history(
         st = SnapshotStore(path)
         assert (st.committed_wave() or -1) < wave, (table, wave)
         cat = crawl(spark, pages, seed_search_url(), st, max_waves=30, **kw)
-        assert_parity(cat.collect(), sim), (table, wave)
+        assert_parity(cat.collect(), sim, ctx=(table, wave))
         assert frontier_state(spark, st) == ref_frontier, (table, wave)
         assert policy_state(spark, st) == ref_policy, (table, wave)
         shutil.rmtree(path)

@@ -164,6 +164,10 @@ def test_header_parsers_on_real_payloads():
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
     jpg = b"\xff\xd8" + app0 + mh.jpeg_bytes(12, 34)[2:]
     assert mh.parse_header(jpg)["width"] == 12
+    # standalone TEM marker (0x01) carries NO length word: treating it as
+    # a sized segment would skip two arbitrary bytes and desync the scan
+    jpg_tem = b"\xff\xd8" + b"\xff\x01" + app0 + mh.jpeg_bytes(12, 34)[2:]
+    assert mh.parse_header(jpg_tem)["width"] == 12
     # top-down BMP (negative height) reports absolute height
     bmp = bytearray(mh.bmp_bytes(10, 20))
     bmp[22:26] = struct.pack("<i", -20)

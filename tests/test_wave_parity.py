@@ -14,13 +14,14 @@ CMP_KEYS = ["title", "url", "doi", "journal", "abstract", "download_link",
             "content_md5", "publication_date"]
 
 
-def assert_parity(rows, sim):
-    assert len(rows) == len(sim)
+def assert_parity(rows, sim, ctx=()):
+    # ctx: caller context (e.g. which crash-window leg) echoed in failures
+    assert len(rows) == len(sim), (len(rows), len(sim), *ctx)
     for got, exp in zip(rows, sim):
         for k in CMP_KEYS:
-            assert got[k] == exp[k], (k, got[k], exp[k])
-        assert list(got["authors"] or []) == exp["authors"]
-        assert list(got["keywords"] or []) == list(exp["keywords"] or [])
+            assert got[k] == exp[k], (k, got[k], exp[k], *ctx)
+        assert list(got["authors"] or []) == exp["authors"], ctx
+        assert list(got["keywords"] or []) == list(exp["keywords"] or []), ctx
 
 
 def test_run_wave_full_parity(pages, pages_dict):
