@@ -305,3 +305,26 @@ def test_empty_partitioned_commit_reads_back_empty(spark, tmp_path):
     out = st.read(spark, "t")
     assert out.count() == 0
     assert set(out.columns) == {"k", "v", "status"}
+
+
+def test_recommit_overwrites_mid_commit_orphan_dir(spark, tmp_path):
+    """A driver kill MID-commit (parquet dir written, manifest rename not
+    yet done) leaves an orphan snap dir no manifest references. Resume
+    rolls the manifest back to the pointer, so the torn wave's re-run
+    recomputes the SAME snap id (max+1 over the restored manifest) and its
+    overwrite-mode write must clobber the orphan — reads stay manifest-
+    driven and the re-run leaks no stale files."""
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)
+    # simulate the torn wave-1 commit: snap-1 written with garbage rows,
+    # manifest never updated (the kill window before _write_manifest)
+    orphan = os.path.join(str(tmp_path / "s"), "t", "snap-1")
+    _df(spark, [{"k": 99, "v": "torn"}]).write.parquet(orphan)
+    assert st.latest_wave("t") == 0  # manifest never saw the torn commit
+    # the re-run of wave 1 must land on the same id and replace the orphan
+    sid = st.commit_delta(_df(spark, [{"k": 2, "v": "b"}]), "t", wave=1,
+                          key=["k"])
+    assert sid == 1
+    assert _state(spark, st, "t") == [(1, "a"), (2, "b")]
+    raw = st.read_snapshot_raw(spark, "t", 1).collect()
+    assert [(r["k"], r["v"]) for r in raw] == [(2, "b")]
