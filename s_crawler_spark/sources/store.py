@@ -180,6 +180,10 @@ class SnapshotStore:
             if len(kept) == len(snaps):
                 continue
             manifest["snapshots"] = kept
+            # manifest first (atomic rename), THEN delete dirs: a kill in
+            # between leaves only unreferenced orphan dirs, which the torn
+            # wave's re-run overwrites (same snap id over the pruned
+            # manifest) — never a manifest pointing at deleted files
             self._write_manifest(t, manifest)
             live = {os.path.basename(s["path"]) for s in kept}
             tdir = os.path.join(self.root, t)
