@@ -190,6 +190,28 @@ def collapse_rules(rules: DataFrame) -> DataFrame:
                 .alias("robots_allow")))
 
 
+def collapse_policy(policy: DataFrame) -> DataFrame:
+    """Collapse a full host-policy dimension to ONE row per host — the
+    whole-table analogue of ``collapse_rules``. A caller-supplied policy
+    with duplicate host rows (e.g. two unioned policy files) would fan out
+    every pending row of that host through ``compose_wave``'s broadcast
+    left join — duplicating batch rows, fetch results, and ultimately the
+    keyed frontier delta's url_hash rows (the same hazard the streaming
+    admission collapses its policy dimension for). Delay collapses to the
+    MAX (politeness can only tighten), rule lists union like
+    ``collapse_rules`` (longest-prefix-match depends only on set
+    membership), user_agent to the lexicographic max for determinism."""
+    return policy.groupBy("host").agg(
+        F.max("crawl_delay_ms").alias("crawl_delay_ms"),
+        F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("robots_disallow"))))
+        .alias("robots_disallow"),
+        F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("robots_allow"))))
+        .alias("robots_allow"),
+        F.max("user_agent").alias("user_agent"))
+
+
 def decorate_robots_ok(rows: DataFrame, rules: DataFrame,
                        out_col: str = "robots_ok",
                        pre_collapsed: bool = False) -> DataFrame:

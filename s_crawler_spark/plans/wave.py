@@ -426,6 +426,22 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
 
     meta_cols = ["url", "title", "doi", "journal", "publication_date", "authors"]
 
+    if host_policy is not None:
+        # ONE row per host before anything consumes the dimension:
+        # duplicate host rows in a caller-supplied policy would fan out
+        # every pending row of that host through compose_wave's broadcast
+        # left join and persist as duplicate url_hash keys in the keyed
+        # frontier delta (po.collapse_policy). Collapsed once per crawl.
+        host_policy = po.collapse_policy(host_policy) \
+            .localCheckpoint(eager=False)
+    if priority_df is not None:
+        # same hazard, url dimension: a duplicate url row (unioned rank
+        # sources) would fan each discovery into several frontier rows
+        # with the same url_hash. min() keeps the strongest priority
+        # (admission sorts ascending) and is deterministic.
+        priority_df = priority_df.groupBy("url") \
+            .agg(F.min("priority").alias("priority")) \
+            .localCheckpoint(eager=False)
     if host_policy is None:
         # north rule: robots.txt rules materialized ONCE as the broadcast
         # host-policy table — parse each host's /robots.txt page from the
@@ -558,21 +574,27 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             fresh = cand
         # already-enqueued (still pending) URLs must not re-enqueue either.
         # cand_store is O(total): broadcast semi-prune (scan, no shuffle);
-        # fresh is checkpointed first — it feeds the prune key set, the
-        # first-occurrence window and the metadata projection
+        # fresh is checkpointed first — inside pruned_anti_join it feeds
+        # BOTH the prune key set and the join's left side
         fresh = fresh.localCheckpoint(eager=False)
         if cand_store is not None:
             fresh = dd.pruned_anti_join(fresh, cand_store, "url")
         # within-run duplicate cards enqueue once per URL (the frontier is
         # URL-keyed; the *insert-time* tiered dedup below is doi/md5/title-keyed)
         fresh = dd.first_occurrence(fresh, "url_hash", "seq")
+        # checkpointed AGAIN above the anti-join + window: fresh now feeds
+        # the enqueue chain AND the metadata projection (new_meta →
+        # hydration + candidates commit) — without this, each consumer
+        # re-executes the O(total) candidates semi-prune scan and the
+        # first-occurrence shuffle per wave
+        fresh = fresh.localCheckpoint(eager=False)
         new_frontier_rows = po.decorate_robots_ok(
             fr.enqueue(fresh.drop("url_hash"), wave, logical_now),
             rules_collapsed, pre_collapsed=True)
         if priority_df is not None:
             # rank-primed admission order: authority priorities decorate the
             # new rows via a broadcast dimension join (J4 shape) — never a
-            # frontier-sized shuffle
+            # frontier-sized shuffle (collapsed to one row per url above)
             pr = F.broadcast(priority_df.select(
                 "url", F.col("priority").alias("__prio")))
             new_frontier_rows = (

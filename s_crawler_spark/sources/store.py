@@ -161,6 +161,7 @@ class SnapshotStore:
         import shutil
 
         cw = self.committed_wave()
+        inferred = cw is None
         if cw is None:
             waves = [w for w in (self.latest_wave(t) for t in self.WAVE_TABLES)
                      if w is not None]
@@ -173,6 +174,30 @@ class SnapshotStore:
             # Nothing to roll back; dropping them would silently delete
             # user data on the default resume=True path.
             return None
+        if inferred:
+            # the min() inference is only sound for true legacy stores —
+            # the pre-delta loop committed every WAVE_TABLE every wave, so
+            # min = the newest fully-landed wave. A pointer-less store
+            # containing ANY delta snapshot was written by the sparse-
+            # commit loop (which always arms the pointer): its per-table
+            # numbering legitimately lags (unchanged tables skip commits),
+            # so min() would land on an OLD wave and rmtree durably
+            # committed snapshots — and with expiry in play could strand a
+            # table past its only surviving full base. Fail safe instead.
+            would_drop = any(s["wave"] > cw
+                             for t in self.tables()
+                             for s in self.snapshots(t))
+            has_delta = any(s.get("mode", "full") == "delta"
+                            for t in self.tables()
+                            for s in self.snapshots(t))
+            if would_drop and has_delta:
+                raise RuntimeError(
+                    "store has delta snapshots but no COMMITTED.json wave "
+                    "pointer (lost in a partial copy?): refusing the "
+                    "legacy min-wave rollback, which would delete "
+                    "committed sparse-numbered snapshots. Restore the "
+                    "pointer file, or write one naming the last known "
+                    "good wave, and resume again.")
         for t in self.tables():
             manifest = self._load_manifest(t)
             snaps = manifest["snapshots"]
@@ -254,8 +279,14 @@ class SnapshotStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        entry = {"id": snap_id, "wave": wave, "path": path, "mode": mode,
-                 "meta": meta or {}}
+        # manifests record only the snapshot dir BASENAME: every reader
+        # resolves it against the CURRENT root (_snap_dir), so persisting
+        # the writer's absolute path would be a misleading second source
+        # of truth that breaks the moment a store directory is copied.
+        # (_snap_dir basenames defensively, so manifests written by older
+        # absolute-path builds keep reading correctly.)
+        entry = {"id": snap_id, "wave": wave, "path": f"snap-{snap_id}",
+                 "mode": mode, "meta": meta or {}}
         if key is not None:
             entry["key"] = list(key)
         if delete_where is not None:
@@ -356,11 +387,12 @@ class SnapshotStore:
 
     def _snap_dir(self, table: str, entry: dict) -> str:
         """A snapshot entry's directory resolved against THIS store's root.
-        Manifests record the writer's absolute path, but a store directory
-        must be relocatable — backup/restore and crash-copy resume read a
-        COPY of the root, and following the stored absolute path would read
-        (or dangle on) the original writer's files. Reads therefore join
-        the snapshot basename onto the current root — the same rule
+        Manifests record the snapshot dir basename (older builds recorded
+        the writer's absolute path), and a store directory must be
+        relocatable — backup/restore and crash-copy resume read a COPY of
+        the root, and following a stored absolute path would read (or
+        dangle on) the original writer's files. Reads therefore join the
+        entry's basename onto the current root — the same rule
         ``expire_snapshots``/``rollback_to_committed`` already use when
         deleting orphans."""
         return os.path.join(self.root, table, os.path.basename(entry["path"]))
@@ -376,7 +408,12 @@ class SnapshotStore:
         exactly as wave w-1 left it."""
         snaps = self._load_manifest(table)["snapshots"]
         if snapshot is not None:
-            idx = next(i for i, s in enumerate(snaps) if s["id"] == snapshot)
+            idx = next((i for i, s in enumerate(snaps)
+                        if s["id"] == snapshot), None)
+            if idx is None:  # unknown or expired id: loud, not StopIteration
+                raise ValueError(
+                    f"table {table!r} has no snapshot id {snapshot} "
+                    f"(ids: {[s['id'] for s in snaps]})")
             snaps = snaps[:idx + 1]
         if as_of_wave is not None:
             snaps = [s for s in snaps if s["wave"] <= as_of_wave]
@@ -385,6 +422,16 @@ class SnapshotStore:
         base_idx = max(
             (i for i, s in enumerate(snaps) if s.get("mode", "full") == "full"),
             default=0)
+        if snaps[base_idx].get("mode", "full") != "full":
+            # no full in the chain: composing with a delta as the base
+            # would return tombstone rows as live state and drop the
+            # oldest delta's upsert semantics — fail loudly instead (the
+            # loop always commits a table's first snapshot full; only an
+            # externally assembled chain can get here)
+            raise ValueError(
+                f"table {table!r} snapshot chain has no full base "
+                f"(oldest surviving mode="
+                f"{snaps[base_idx].get('mode', 'full')!r})")
         resolved = [dict(s, path=self._snap_dir(table, s))
                     for s in snaps[base_idx:]]
         return self._compose(spark, resolved)

@@ -250,3 +250,38 @@ def test_armed_pointer_rolls_back_torn_wave_zero(spark, tmp_path):
     assert st.rollback_to_committed() == -1
     assert st.latest_wave("frontier") is None
     assert st.latest_wave("articles") is None
+
+
+def test_pointerless_delta_store_refuses_min_wave_rollback(spark, tmp_path):
+    """The min(latest_wave) fallback is only sound for true legacy stores
+    (pre-delta loop: every WAVE_TABLE committed every wave). A store with
+    DELTA snapshots was written by the sparse-commit loop, whose per-table
+    numbering legitimately lags — if its pointer is lost (partial copy),
+    min() would land on an old wave and DELETE durably committed
+    snapshots. Rollback must refuse instead of destroying data; a no-op
+    fallback (nothing newer than min) stays allowed."""
+    st = SnapshotStore(str(tmp_path / "sparse"))
+    one = spark.range(1).select(F.lit("a").alias("k"))
+    for t in SnapshotStore.WAVE_TABLES:
+        st.commit(one, t, 0)
+    # sparse delta era: only the frontier moved on waves 1-2
+    st.commit_delta(one, "frontier", wave=1, key=["k"])
+    st.commit_delta(one, "frontier", wave=2, key=["k"])
+    os.remove(os.path.join(str(tmp_path / "sparse"), "COMMITTED.json")) \
+        if os.path.exists(os.path.join(str(tmp_path / "sparse"),
+                                       "COMMITTED.json")) else None
+    with pytest.raises(RuntimeError, match="delta snapshots but no"):
+        st.rollback_to_committed()
+    # with the pointer restored the same store rolls back fine
+    st.mark_wave_committed(1)
+    assert st.rollback_to_committed() == 1
+    assert st.latest_wave("frontier") == 1
+
+    # all-full legacy store: the fallback still works (and still heals
+    # the old frontier-first torn wave)
+    lg = SnapshotStore(str(tmp_path / "legacy2"))
+    for t in SnapshotStore.WAVE_TABLES:
+        lg.commit(one, t, 0)
+    lg.commit(one, "frontier", 1)  # torn frontier-first wave 1
+    assert lg.rollback_to_committed() == 0
+    assert lg.latest_wave("frontier") == 0

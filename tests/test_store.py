@@ -328,3 +328,22 @@ def test_recommit_overwrites_mid_commit_orphan_dir(spark, tmp_path):
     assert _state(spark, st, "t") == [(1, "a"), (2, "b")]
     raw = st.read_snapshot_raw(spark, "t", 1).collect()
     assert [(r["k"], r["v"]) for r in raw] == [(2, "b")]
+
+
+def test_read_unknown_snapshot_id_raises(spark, tmp_path):
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0)
+    with pytest.raises(ValueError, match="no snapshot id 99"):
+        st.read(spark, "t", snapshot=99)
+
+
+def test_read_chain_without_full_base_raises(spark, tmp_path):
+    """Composing a chain whose oldest survivor is a DELTA would return
+    tombstone rows as live state and drop the base delta's upsert
+    semantics — read() must fail loudly (the loop always commits a
+    table's first snapshot full; only external assembly can get here)."""
+    st = SnapshotStore(str(tmp_path / "s"))
+    st.commit_delta(_df(spark, [{"k": 1, "v": "a"}]), "t", wave=0,
+                    key=["k"])
+    with pytest.raises(ValueError, match="no full base"):
+        st.read(spark, "t")

@@ -445,10 +445,10 @@ def test_snapshot_expiry_bounds_storage_and_resumes(spark, pages, pages_dict,
     assert n_waves == 3
     for t in ("frontier", "articles", "seen", "candidates", "seen_shards"):
         assert len(store.snapshots(t)) == 2, t
-        # expired parquet dirs are really gone
-        live = {s["path"] for s in store.snapshots(t)}
-        on_disk = {os.path.join(str(tmp_path / "exp"), t, d)
-                   for d in os.listdir(tmp_path / "exp" / t)
+        # expired parquet dirs are really gone (manifest paths are
+        # root-relative basenames — stores are relocatable)
+        live = {os.path.basename(s["path"]) for s in store.snapshots(t)}
+        on_disk = {d for d in os.listdir(tmp_path / "exp" / t)
                    if d.startswith("snap-")}
         assert on_disk == live, t
     for t in ("fetch_log", "lineage", "phase_log"):
@@ -723,3 +723,54 @@ def test_retry_only_wave_keeps_trap_state_incremental_on_resume(
     snaps = [s for s in store.snapshots("trap_state") if s["wave"] == 2]
     assert snaps and snaps[0]["mode"] == "delta", \
         "resume after a retry-only wave must not re-seed trap_state"
+
+
+def test_duplicate_dimension_rows_do_not_fan_out(spark, pages, tmp_path):
+    """Caller-supplied dimensions with duplicate keys must not multiply
+    rows: a host listed twice in host_policy would fan every pending row
+    of that host through compose_wave's broadcast left join (duplicate
+    batch/result rows persisting as duplicate url_hash keys in the keyed
+    frontier delta), and a url listed twice in priority_df would fan each
+    discovery the same way. The loop collapses both dimensions once per
+    crawl (po.collapse_policy / min-priority groupBy) — pinned by running
+    the same crawl with clean and with duplicated dimensions and
+    asserting identical catalogs, identical frontier state, and unique
+    frontier keys."""
+    from pyspark.sql import functions as F
+
+    from s_crawler_spark.corpus import seed_search_url
+    from s_crawler_spark.functions import scalars
+    from s_crawler_spark.operators import politeness as po
+
+    hosts = [r["host"] for r in pages.select(
+        F.parse_url("url", F.lit("HOST")).alias("host")).distinct().collect()]
+    pol = po.default_host_policy(spark, hosts, crawl_delay_ms=100)
+    pol_dup = pol.unionByName(pol)  # every host twice
+    some_urls = [r["url"] for r in pages.select("url").limit(3).collect()]
+    pr = spark.createDataFrame([(u, 5) for u in some_urls],
+                               "url string, priority int")
+    # one url twice with DIFFERENT priorities: min (the strongest) must win
+    pr_dup = pr.unionByName(spark.createDataFrame(
+        [(some_urls[0], 7)], "url string, priority int"))
+    pr_clean = pr_dup.groupBy("url").agg(F.min("priority").alias("priority"))
+
+    kw = dict(wave_seconds=150, max_waves=20, n_shards=4)
+    st_a = SnapshotStore(str(tmp_path / "clean"))
+    cat_a = crawl(spark, pages, seed_search_url(), st_a,
+                  host_policy=pol, priority_df=pr_clean, **kw)
+    rows_a = [tuple(r) for r in cat_a.orderBy("seq").collect()]
+    st_b = SnapshotStore(str(tmp_path / "dup"))
+    cat_b = crawl(spark, pages, seed_search_url(), st_b,
+                  host_policy=pol_dup, priority_df=pr_dup, **kw)
+    rows_b = [tuple(r) for r in cat_b.orderBy("seq").collect()]
+    assert rows_a == rows_b and len(rows_a) > 0
+
+    for st in (st_a, st_b):
+        fr_df = st.read(spark, "frontier")
+        n, nk = fr_df.count(), fr_df.select("url_hash").distinct().count()
+        assert n == nk, (n, nk)  # unique keys — no persisted fan-out
+    fa = {(r["url_hash"], r["status"], r["attempts"], r["priority"])
+          for r in st_a.read(spark, "frontier").collect()}
+    fb = {(r["url_hash"], r["status"], r["attempts"], r["priority"])
+          for r in st_b.read(spark, "frontier").collect()}
+    assert fa == fb
