@@ -134,7 +134,11 @@ def compose_wave(pending: DataFrame, host_policy: DataFrame,
     joined = pending.join(F.broadcast(pol), on="host", how="left")
     joined = joined.withColumn(
         "crawl_delay_ms",
-        F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)))
+        # floor at 1 ms: a caller policy with delay 0 ("no delay") must
+        # mean an effectively unbounded budget, not an ANSI
+        # divide-by-zero that kills the wave job
+        F.greatest(F.lit(1), F.coalesce(F.col("crawl_delay_ms"),
+                                        F.lit(DEFAULT_CRAWL_DELAY_MS))))
     delay_budget = F.greatest(
         F.lit(1),
         (F.lit(wave_seconds * 1000) / F.col("crawl_delay_ms")).cast("int"))

@@ -38,6 +38,32 @@ DEFAULT_K = 7
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
+# Bump whenever the position/index derivation below changes: stored blobs
+# are only probe-able by the EXACT kernel revision that built them (an old
+# blob probed with a new kernel yields false NEGATIVES, which bypass the
+# exact backstop). The crawl loop commits this in the seen_shards snapshot
+# metadata and full-rebuilds on mismatch, same as an n_shards change.
+# rev 2: h1/i1 derive from a mixed key — the raw key's low bits are FIXED
+# within a shard under pmod(key, n_shards) routing, so raw-key indexing
+# concentrated bloom position 0 (and ALL cuckoo primary buckets) into
+# 1/n_shards of each table: ~8x-congested cuckoo primaries fail kick
+# chains near design load, and the bloom fp rate ran ~2x its sizing.
+FILTER_REV = 2
+
+
+def _mix64(keys: np.ndarray) -> np.ndarray:
+    """Full-avalanche 64-bit finalizer (murmur3/splitmix fmix): every
+    output bit depends on every input bit, so shard-routing's fixed low
+    bits stop constraining table indices."""
+    with np.errstate(over="ignore"):
+        h = keys.astype(np.uint64).copy()
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+        return h
+
 
 def _h2(keys: np.ndarray) -> np.ndarray:
     """Second hash for double hashing (Kirsch–Mitzenmacher)."""
@@ -47,8 +73,8 @@ def _h2(keys: np.ndarray) -> np.ndarray:
 
 
 def _bloom_positions(keys: np.ndarray, n_bits: int, k: int):
-    h1 = keys.astype(np.uint64)
-    h2 = _h2(h1)
+    h1 = _mix64(keys)
+    h2 = _h2(keys.astype(np.uint64))
     nb = np.uint64(n_bits)
     with np.errstate(over="ignore"):
         for i in range(k):
@@ -110,15 +136,60 @@ def _pow2_at_least(n: int) -> int:
     return 1 << max(4, (n - 1).bit_length())
 
 
+def _bulk_place(table: np.ndarray, fps: np.ndarray,
+                idxs: np.ndarray) -> np.ndarray:
+    """Place fps[j] into bucket idxs[j] wherever capacity allows, fully
+    vectorized; returns the placed mask. Per bucket, keys fill its free
+    slots in input order (stable sort), so the layout is deterministic.
+    One numpy pass replaces a per-key Python loop — at the documented
+    2^27-keys-per-shard sizing the loop was ~10^8 interpreter iterations
+    per shard build."""
+    n = len(idxs)
+    order = np.argsort(idxs, kind="stable")
+    sidx = idxs[order]
+    # boundaries from the already-sorted run (np.unique would re-sort)
+    first = (np.concatenate(([0], np.flatnonzero(sidx[1:] != sidx[:-1]) + 1))
+             if n else np.zeros(0, dtype=np.int64))
+    uniq = sidx[first]
+    counts = np.diff(np.append(first, n))
+    bucket_of = np.repeat(np.arange(len(uniq)), counts)
+    rank = np.arange(n) - first[bucket_of]           # 0-based within bucket
+    rows = table.reshape(-1, _CK_SLOTS)[uniq]
+    free = (rows == 0).sum(axis=1)
+    ok = rank < free[bucket_of]                      # fits a free slot
+    # the rank-th free slot of each bucket: argsort(occupied) lists free
+    # slot positions first, in slot order
+    free_pos = np.argsort(rows != 0, axis=1, kind="stable")
+    slot = free_pos[bucket_of[ok], rank[ok]]
+    table[idxs[order[ok]] * _CK_SLOTS + slot] = fps[order[ok]]
+    placed = np.zeros(n, dtype=bool)
+    placed[order[ok]] = True
+    return placed
+
+
 def _cuckoo_insert_all(table: np.ndarray, keys: np.ndarray) -> bool:
     """Insert keys into an existing table in place; False on kick failure.
-    Deterministic: the kick RNG starts from a fixed seed per call, so the
-    same (table, keys) always yields the same layout."""
+    Deterministic: the bulk rounds fill free slots in input order and the
+    kick RNG starts from a fixed seed per call, so the same (table, keys)
+    always yields the same layout. Shape: two vectorized rounds (primary
+    buckets, then alternates for the spill) place everything below ~0.8
+    load; only the residue walks the per-key kick loop."""
     n_buckets = len(table) // _CK_SLOTS
     rng_state = np.uint64(0x2545F4914F6CDD1D)  # deterministic kick choice
     fps = _ck_fingerprint(keys.astype(np.uint64))
-    i1s = keys.astype(np.uint64) % np.uint64(n_buckets)
-    for fp, i1 in zip(fps, i1s):
+    # primary bucket from the MIXED key (FILTER_REV 2): raw-key modulo
+    # concentrates every in-shard primary into 1/n_shards of the table
+    i1s = _mix64(keys) % np.uint64(n_buckets)
+    i2s = _ck_index2(i1s, fps, n_buckets)
+    remaining = np.arange(len(fps))
+    for idxs in (i1s, i2s):
+        if not len(remaining):
+            return True
+        placed = _bulk_place(table, fps[remaining],
+                             idxs[remaining].astype(np.int64))
+        remaining = remaining[~placed]
+    for j in remaining:
+        fp, i1 = fps[j], i1s[j]
         placed = False
         for idx in (int(i1), int(_ck_index2(np.uint64(i1), np.uint16(fp), n_buckets))):
             row = table[idx * _CK_SLOTS:(idx + 1) * _CK_SLOTS]
@@ -171,7 +242,7 @@ def cuckoo_probe(bits: bytes, keys: np.ndarray) -> np.ndarray:
     n_buckets = len(table) // _CK_SLOTS
     keys = keys.astype(np.uint64)
     fps = _ck_fingerprint(keys)
-    i1 = keys % np.uint64(n_buckets)
+    i1 = _mix64(keys) % np.uint64(n_buckets)
     i2 = _ck_index2(i1, fps, n_buckets)
     out = np.zeros(len(keys), dtype=bool)
     for s in range(_CK_SLOTS):
@@ -186,8 +257,8 @@ def cuckoo_delete(bits: bytes, keys: np.ndarray) -> bytes:
     n_buckets = len(table) // _CK_SLOTS
     for key in keys.astype(np.uint64):
         fp = _ck_fingerprint(np.array([key], dtype=np.uint64))[0]
-        for idx in (int(key % np.uint64(n_buckets)),
-                    int(_ck_index2(key % np.uint64(n_buckets), fp, n_buckets))):
+        i1 = _mix64(np.array([key], dtype=np.uint64))[0] % np.uint64(n_buckets)
+        for idx in (int(i1), int(_ck_index2(i1, fp, n_buckets))):
             row = table[idx * _CK_SLOTS:(idx + 1) * _CK_SLOTS]
             hits = np.nonzero(row == fp)[0]
             if len(hits):

@@ -562,10 +562,18 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # layout the blobs were built under — on a resume with a different
         # n_shards the stored blobs are still exact under their own
         # modulus, and the commit below rebuilds them once under the new one
-        stored_ns = next(
-            (s["meta"]["n_shards"]
-             for s in reversed(store.snapshots("seen_shards"))
-             if s.get("meta", {}).get("n_shards") is not None), None)
+        stored_meta = next(
+            (s["meta"] for s in reversed(store.snapshots("seen_shards"))
+             if s.get("meta", {}).get("n_shards") is not None), {})
+        stored_ns = stored_meta.get("n_shards")
+        if (shards_df is not None
+                and stored_meta.get("filter_rev", 1) != sn.FILTER_REV):
+            # blobs built by a DIFFERENT kernel revision: probing them
+            # with the current kernels would yield false negatives that
+            # bypass the exact backstop (duplicate crawls). Fall back to
+            # the exact-only probe this wave; the commit below sees
+            # shards_df None and full-rebuilds under the current revision.
+            shards_df, stored_ns = None, None
         if seen_df is not None:
             fresh = sn.dedup_against_seen(cand, seen_df, shards_df,
                                           key_col="url_hash",
@@ -807,7 +815,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             commit_task(cand_all, "candidates")
             # headroom so the following delta waves can fold keys in place
             commit_task(sn.build_shards(seen_all, n_shards, headroom=2.0),
-                        "seen_shards", meta={"n_shards": n_shards})
+                        "seen_shards", meta={"n_shards": n_shards, "filter_rev": sn.FILTER_REV})
         else:
             # empty-delta skips: delta_agg told us exactly what changed.
             # A skipped table keeps its composed view from the last barrier
@@ -832,7 +840,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 # negatives) — rebuild the whole table once under the
                 # current layout, O(seen) exactly once per layout change
                 commit_task(sn.build_shards(seen_all, n_shards, headroom=2.0),
-                            "seen_shards", meta={"n_shards": n_shards})
+                            "seen_shards", meta={"n_shards": n_shards, "filter_rev": sn.FILTER_REV})
             elif n_term:
                 # fold this wave's new keys into ONLY the shards they touch;
                 # untouched blobs are carried forward by the manifest, unread
@@ -840,7 +848,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                                              seen_delta.select("url_hash"),
                                              seen_all, n_shards, headroom=2.0),
                             "seen_shards", mode="delta", key=["shard_id"],
-                            meta={"n_shards": n_shards})
+                            meta={"n_shards": n_shards, "filter_rev": sn.FILTER_REV})
 
         commit_task(metrics, "fetch_log")
         # A3 / north rule: per-partition lineage + fetch/parse metrics are

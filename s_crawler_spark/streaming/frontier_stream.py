@@ -132,8 +132,14 @@ def dedup_discoveries(discoveries: DataFrame,
             state.remove()
             return
         rows = pd.concat(list(pdfs)).sort_values("seq")
-        ts_ms = int(rows["discovered_at"].max().timestamp() * 1000)
+        # __epoch_ms is computed JVM-side (timestamp → double): Arrow hands
+        # pandas UDFs tz-NAIVE timestamps localized to the session zone, so
+        # pandas .timestamp() would shift by the session offset (and jump
+        # across DST) relative to the true event-time epoch the watermark
+        # uses; the cast is tz-correct and null-safe (NaN here, not NaT)
+        em = rows["__epoch_ms"].max()
         wm_ms = state.getCurrentWatermarkMs()
+        ts_ms = int(em) if pd.notna(em) else wm_ms
         if not state.exists:
             state.update((True,))
             out = rows.head(1)
@@ -141,10 +147,13 @@ def dedup_discoveries(discoveries: DataFrame,
             out = rows.head(0)
         state.setTimeoutTimestamp(max(ts_ms, wm_ms + 1)
                                   + watermark_seconds * 1000)
-        yield out
+        yield out.drop(columns="__epoch_ms")
 
     return (discoveries
             .withWatermark("discovered_at", f"{watermark_seconds} seconds")
+            .withColumn("__epoch_ms",
+                        (F.col("discovered_at").cast("double") * 1000)
+                        .cast("long"))
             .groupBy("url_hash")
             .applyInPandasWithState(
                 first_occurrence,
@@ -189,15 +198,29 @@ def _make_admission_fn(crawl_delay_ms: int, burst: int):
             tokens, last_epoch = burst, None
         rows = pd.concat(list(pdfs)).sort_values("seq")
         d = rows["__delay_ms"].dropna()
-        rate = 1000.0 / (float(d.iloc[0]) if len(d) else crawl_delay_ms)
-        # token accrual uses event time (discovered_at) — deterministic
-        # under replay, no wall clock anywhere
-        now_epoch = rows["discovered_at"].max().timestamp()
-        if last_epoch is not None:
+        # floor at 1 ms, matching compose_wave: a policy delay of 0 means
+        # an effectively unbounded rate, not a ZeroDivisionError that
+        # kills the streaming query
+        delay = float(d.iloc[0]) if len(d) else float(crawl_delay_ms)
+        rate = 1000.0 / max(delay, 1.0)
+        # token accrual uses event time — deterministic under replay, no
+        # wall clock anywhere. __epoch is the JVM-side timestamp→double
+        # cast: tz-correct (pandas .timestamp() on the tz-naive Arrow
+        # values would shift by the session offset) and NaN-safe when a
+        # batch's discovered_at are all null
+        em = rows["__epoch"].max()
+        now_epoch = float(em) if pd.notna(em) else None
+        if last_epoch is not None and now_epoch is not None:
             tokens = min(burst, tokens + rate * max(0.0, now_epoch - last_epoch))
         n_admit = int(tokens)
         admitted = rows.head(n_admit)
-        state.update((float(tokens - len(admitted)), float(now_epoch)))
+        # the stored clock must be MONOTONE: frontier deltas carry the
+        # ORIGINAL discovered_at, so a retry-only batch streamed after
+        # newer files has an older max — writing it back would rewind the
+        # bucket and re-accrue (double-credit) the interval next batch
+        known = [e for e in (now_epoch, last_epoch) if e is not None]
+        state.update((float(tokens - len(admitted)),
+                      float(max(known)) if known else None))
         yield pd.DataFrame({
             "host": admitted["host"] if len(admitted) else pd.Series([], dtype=object),
             "url": admitted["url"],
@@ -228,7 +251,15 @@ def politeness_admission(discoveries: DataFrame,
     several policy rows is collapsed to its LARGEST delay before the join
     (most-polite wins): a plain left join would fan each discovery out per
     duplicate row — duplicate admissions that also double-charge the token
-    bucket — where the old driver-dict form silently kept one row."""
+    bucket — where the old driver-dict form silently kept one row.
+
+    Admission is PER OFFER: rows beyond the host's current token balance
+    are dropped from this operator's output, not queued (unbounded
+    overflow must not live in per-host GroupState). The caller owns
+    re-offering — in the engine the un-admitted URLs simply stay
+    ``pending`` in the frontier store and are re-streamed by the next
+    snapshot their host appears in, exactly as the batch ``compose_wave``
+    leaves them for the next wave."""
     pending = discoveries.filter(F.col("status") == "pending")
     if host_policy is None:
         decorated = pending.withColumn("__delay_ms",
@@ -247,6 +278,7 @@ def politeness_admission(discoveries: DataFrame,
         decorated = pending.join(F.broadcast(pol), on="host", how="left")
     return (
         decorated
+        .withColumn("__epoch", F.col("discovered_at").cast("double"))
         .groupBy("host")
         .applyInPandasWithState(
             _make_admission_fn(crawl_delay_ms, burst),
@@ -262,7 +294,14 @@ def run_metrics_stream(spark: SparkSession, frontier_dir: str,
                        out_dir: str, checkpoint_dir: str) -> None:
     """One-shot (availableNow) metrics pipeline: drain all committed
     snapshots, append windowed per-host metrics to parquet, stop. Restart
-    with the same checkpoint resumes from the last processed file."""
+    with the same checkpoint resumes from the last processed file.
+
+    Append-mode caveat (inherent to watermark semantics): windows within
+    ``watermark_seconds`` of the newest event stay OPEN when the drain
+    stops — their rows emit on the next run, once newer snapshots push
+    the watermark past them. A run over a quiesced store therefore trails
+    its last window(s); downstream readers must treat the newest horizon
+    as provisional."""
     q = (
         # one file per micro-batch: the watermark only advances between
         # batches, so later snapshots must land in later batches for

@@ -348,3 +348,15 @@ def test_parse_robots_policy_differential(spark):
         assert r["crawl_delay_ms"] == exp_delay, (host, body)
         assert list(r["robots_disallow"]) == exp_dis, (host, body)
         assert list(r["robots_allow"]) == exp_alw, (host, body)
+
+
+def test_compose_wave_zero_delay_means_unbounded_not_error(spark):
+    """A caller policy with crawl_delay_ms=0 ("no delay for my host") must
+    admit everything (delay floored at 1 ms → effectively unbounded
+    budget), not raise an ANSI divide-by-zero inside the wave job."""
+    frontier = fr.enqueue(make_candidates(spark, 30), wave=0, logical_now=T0)
+    policy = po.default_host_policy(spark, ["h0.org", "h1.org", "h2.org"],
+                                    crawl_delay_ms=0)
+    batch = po.compose_wave(fr.eligible_pending(frontier, T0), policy,
+                            wave_seconds=1)
+    assert batch.count() == 30

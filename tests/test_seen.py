@@ -247,3 +247,38 @@ def test_update_shards_rebuild_keeps_stored_kind(spark):
         shards.join(upd.select("shard_id"), "shard_id", "left_anti"))
     probe = sn.probe_shards(seen_all, merged, n_shards=4)
     assert probe.filter(~probe.maybe_seen).count() == 0  # no false negatives
+
+
+def test_filter_indices_uncorrelated_with_shard_routing():
+    """FILTER_REV 2 regression: within a shard every key satisfies
+    key ≡ s (mod n_shards), and raw-key indexing (pos0 = key % n_bits,
+    i1 = key % n_buckets, both table sizes multiples of 8) inherited that
+    congruence — bloom position 0 and EVERY cuckoo primary bucket
+    concentrated into 1/n_shards of the table (kick-chain exhaustion near
+    design load; ~2x the sized fp rate). Mixed indexing must spread both
+    across all residues, and cuckoo_build must succeed at design load on
+    shard-correlated keys."""
+    rng = np.random.default_rng(7)
+    n_shards, s = 8, 3
+    # keys of one shard under pmod routing: low bits fixed at s
+    keys = (rng.integers(0, 1 << 60, 200_000, dtype=np.uint64)
+            * np.uint64(n_shards) + np.uint64(s))
+
+    # bloom: position 0 covers all residues mod n_shards
+    n_bits = len(keys) * sn.DEFAULT_BITS_PER_KEY
+    pos0 = next(iter(sn._bloom_positions(keys, ((n_bits + 7) // 8) * 8, 1)))
+    assert len(np.unique(pos0 % n_shards)) == n_shards
+    # and the realized fp rate stays near the ~1% sizing
+    blob = sn.bloom_build(keys, n_bits)
+    probe = (rng.integers(0, 1 << 60, 100_000, dtype=np.uint64)
+             * np.uint64(n_shards) + np.uint64(s - 1))  # disjoint residue
+    fp_rate = sn.bloom_probe(blob, probe).mean()
+    assert fp_rate < 0.02, fp_rate
+
+    # cuckoo: primary buckets cover all residues, and build succeeds at
+    # the exact design sizing (headroom 1.0 → 0.84 load)
+    n_buckets = max(16, int(len(keys) / (0.84 * sn._CK_SLOTS)) + 1)
+    i1 = sn._mix64(keys) % np.uint64(sn._pow2_at_least(n_buckets))
+    assert len(np.unique(i1 % np.uint64(n_shards))) == n_shards
+    blob = sn.cuckoo_build(keys, n_buckets)  # raises on kick exhaustion
+    assert sn.cuckoo_probe(blob, keys).all()  # no false negatives

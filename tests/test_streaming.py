@@ -318,3 +318,60 @@ def test_streaming_admission_matches_batch_crawl_order(spark, pages, tmp_path):
         for r in spark.read.parquet(out).collect()}
     assert len(stream_triples) == len(frontier)
     assert stream_triples == batch_triples
+
+
+def test_admission_fn_clock_is_monotone_and_zero_delay_safe():
+    """Unit pins on the token-bucket kernel (no streaming query needed —
+    the state fn is a plain closure):
+    - an out-of-order micro-batch (retry-only frontier delta carrying
+      ORIGINAL discovered_at older than state's clock) must not rewind
+      last_epoch — a rewound clock re-accrues the already-credited
+      interval next batch, refilling to burst and over-admitting;
+    - a policy delay of 0 must mean unbounded rate, not ZeroDivisionError;
+    - a batch whose discovered_at are all null (NaN epoch) must keep the
+      existing clock."""
+    import pandas as pd
+    import numpy as np
+    from s_crawler_spark.streaming.frontier_stream import _make_admission_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.exists = None, False
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    def batch(n, epoch, delay=1000.0):
+        return pd.DataFrame({
+            "host": ["h"] * n, "url": [f"u{i}" for i in range(n)],
+            "seq": list(range(n)),
+            "discovered_at": [pd.Timestamp(epoch, unit="s")] * n,
+            "__delay_ms": [delay] * n,
+            "__epoch": [float(epoch)] * n,
+        })
+
+    admit = _make_admission_fn(crawl_delay_ms=1000, burst=5)
+    st = FakeState()
+    out1 = pd.concat(list(admit(("h",), iter([batch(5, 100.0)]), st)))
+    assert len(out1) == 5 and st.get[0] == 0.0     # burst drained
+    assert st.get[1] == 100.0
+    # out-of-order batch: clock must NOT rewind, and (5s of backdated
+    # "elapsed" time) must not be credited
+    out2 = pd.concat(list(admit(("h",), iter([batch(5, 95.0)]), st)))
+    assert len(out2) == 0, "backdated batch must not refill the bucket"
+    assert st.get[1] == 100.0, "clock rewound by out-of-order batch"
+    # 2 seconds really elapse → exactly 2 tokens accrue
+    out3 = pd.concat(list(admit(("h",), iter([batch(5, 102.0)]), st)))
+    assert len(out3) == 2, len(out3)
+    # all-null event times: NaN epoch keeps the clock
+    nb = batch(1, 102.0)
+    nb["__epoch"] = np.nan
+    nb["discovered_at"] = pd.NaT
+    list(admit(("h",), iter([nb]), st))
+    assert st.get[1] == 102.0
+    # zero delay: unbounded rate, no ZeroDivisionError
+    st0 = FakeState()
+    out = pd.concat(list(admit(("h",), iter([batch(5, 10.0, delay=0.0)]), st0)))
+    assert len(out) == 5

@@ -774,3 +774,39 @@ def test_duplicate_dimension_rows_do_not_fan_out(spark, pages, tmp_path):
     fb = {(r["url_hash"], r["status"], r["attempts"], r["priority"])
           for r in st_b.read(spark, "frontier").collect()}
     assert fa == fb
+
+
+def test_resume_with_old_filter_rev_rebuilds_and_skips_stale_probe(
+        spark, pages, pages_dict, tmp_path):
+    """Filter blobs are probe-able only by the kernel revision that built
+    them (seen.FILTER_REV): an old-rev blob probed with the current
+    kernels yields false NEGATIVES, which bypass the exact backstop and
+    re-crawl seen URLs. A resume over a store whose seen_shards metadata
+    carries a different (or absent, = rev 1) filter_rev must ignore the
+    stored blobs for that wave's probe (exact-only fallback) and
+    full-rebuild the shard table under the current revision — and the
+    crawl still matches the reference."""
+    import json
+
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "rev"))
+    crawl(spark, pages, seed_search_url(), store,
+          wave_seconds=100, max_waves=2, n_shards=4)
+    # simulate a store written by the rev-1 engine: strip filter_rev from
+    # every seen_shards snapshot's metadata
+    mpath = store._manifest_path("seen_shards")
+    man = json.loads(open(mpath).read())
+    for s in man["snapshots"]:
+        s["meta"].pop("filter_rev", None)
+    open(mpath, "w").write(json.dumps(man))
+
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards=4)
+    assert_parity(cat.collect(), sim)
+    from s_crawler_spark.operators import seen as sn
+    snaps = store.snapshots("seen_shards")
+    assert snaps[-1]["meta"].get("filter_rev") == sn.FILTER_REV
+    # the rebuild was a FULL commit (a delta onto stale-rev blobs would
+    # fold new-kernel positions into old-kernel tables)
+    rev_commits = [s for s in snaps if s["meta"].get("filter_rev") is not None]
+    assert rev_commits and rev_commits[0].get("mode", "full") == "full"
