@@ -60,9 +60,11 @@ def parse_warc_full(blob: bytes) -> tuple[list[tuple[str, datetime, bytes]], dic
     warcinfo record), without a parseable WARC-Date, or that aren't
     ``response``-typed are SKIPPED, never raised on — their Content-Length
     still advances the scan, so skipping is never guessing at boundaries.
-    Only a record with no parseable Content-Length stops the scan (the
-    stream is unframed past it); the stats dict surfaces that truncation
-    (``trailing_bytes`` > 0) instead of hiding it, plus ``n_records`` and
+    The scan stops only at a record with no parseable Content-Length (the
+    stream is unframed past it) or one whose declared payload runs past
+    the blob (mid-payload truncation — emitting the short body would hand
+    downstream a silently corrupted page); the stats dict surfaces either
+    as ``trailing_bytes`` > 0 instead of hiding it, plus ``n_records`` and
     ``n_skipped`` counts."""
     out = []
     n_skipped = 0
@@ -81,6 +83,13 @@ def parse_warc_full(blob: bytes) -> tuple[list[tuple[str, datetime, bytes]], dic
             ln = int(headers["content-length"])
         except (KeyError, ValueError):
             break  # unskippable: without a length the stream is unframed
+        if he + 4 + ln > n:
+            # declared payload runs past the blob: a mid-payload truncation.
+            # Emitting the short body would hand downstream a silently
+            # corrupted page; leave the whole record as trailing bytes so
+            # the stats surface it (the terminator alone being cut is fine —
+            # the payload is complete and the scan just ends).
+            break
         body = blob[he + 4:he + 4 + ln]
         url = headers.get("warc-target-uri")
         rtype = headers.get("warc-type", "response")
