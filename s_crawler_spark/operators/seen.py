@@ -51,6 +51,21 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 FILTER_REV = 2
 
 
+def auto_shard_count(n_keys: int,
+                     target_items: int = SHARD_TARGET_ITEMS) -> int:
+    """Smallest power-of-two shard count keeping ≤ ``target_items`` keys per
+    shard — the sizing policy behind ``crawl(n_shards="auto")``. Power-of-two
+    snapping is the hysteresis: as the seen set grows, the desired count only
+    changes at doublings, so a growing crawl re-lays its filter table
+    O(log growth) times total (each rebuild is the one O(seen) pass the
+    layout-mismatch path already pays), not once per wave. The count is a
+    ROUTING modulus (pmod key), unrelated to the cuckoo in-blob bucket count
+    — no power-of-two requirement exists for correctness, it exists for
+    rebuild amortization."""
+    need = -(-max(1, n_keys) // max(1, target_items))  # ceil div, >= 1
+    return 1 << (need - 1).bit_length()
+
+
 def _mix64(keys: np.ndarray) -> np.ndarray:
     """Full-avalanche 64-bit finalizer (murmur3/splitmix fmix): every
     output bit depends on every input bit, so shard-routing's fixed low

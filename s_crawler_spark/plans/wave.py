@@ -269,8 +269,9 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
           max_count: int | None = None,
           wave_seconds: int = 3600,
           host_policy: DataFrame | None = None,
-          n_shards: int = 8,
+          n_shards: int | str = 8,
           max_waves: int = 50,
+          shard_target_items: int = sn.SHARD_TARGET_ITEMS,
           salt_buckets: int | None = None,
           resume: bool = True,
           adaptive_delay: bool = False,
@@ -337,8 +338,24 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     re-seeds it with one scan (and the next commit is full, re-anchoring
     the delta chain).
 
+    ``n_shards="auto"`` sizes the seen-filter shard layout from the live
+    seen-set size instead of a fixed modulus: each wave targets
+    ``shard_target_items`` keys per shard (seen.auto_shard_count — smallest
+    power of two, GROW-ONLY so an established layout never churns
+    downward). Growth reuses the existing layout-change machinery — the
+    wave whose desired count exceeds the stored one full-rebuilds the
+    table under the new modulus, every other wave folds touched-shard
+    deltas — and power-of-two snapping bounds total rebuilds at
+    O(log growth) over the crawl's life. Probes always use the STORED
+    layout, so mid-crawl growth never mis-routes a candidate. This is the
+    10^10 default posture: a crawl that outgrows its seed sizing by 1000×
+    keeps ≤ target keys per blob with no retuning or manual resume.
+
     Returns the final articles catalog in crawl order.
     """
+    auto_shards = isinstance(n_shards, str)
+    if auto_shards and n_shards != "auto":
+        raise ValueError(f"n_shards must be an int or 'auto', got {n_shards!r}")
     start_wave = 0
     frontier_df = catalog = seen_df = cand_store = policy_df = None
     trap_state_df = None  # per-host pending-backlog trap counts (trap_guard)
@@ -772,6 +789,23 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             [(s, n, wave) for s, n in sorted(status_counts.items()) if n != 0],
             "status string, count long, wave int")
 
+        # shard layout this wave's seen_shards commit targets. "auto": size
+        # from the live seen count (terminal frontier rows — the exact row
+        # set the blobs are built from), grow-only against the stored
+        # layout so an established table never churns downward; the
+        # power-of-two snap in auto_shard_count makes growth a doubling
+        # event, so the one O(seen) rebuild per layout change amortizes to
+        # O(log growth) rebuilds total. Free: status_counts is already
+        # maintained incrementally — no extra scan, no extra job.
+        if auto_shards:
+            n_seen_now = (status_counts.get(fr.STATUS_DONE, 0)
+                          + status_counts.get(fr.STATUS_FAILED, 0))
+            ns_commit = max(stored_ns or 1,
+                            sn.auto_shard_count(n_seen_now,
+                                                shard_target_items))
+        else:
+            ns_commit = n_shards
+
         # commit this wave's state (checkpoint = resumability) as ONE
         # multi-table transaction: the task list is built single-threaded
         # (all plan construction on the driver), then the per-table writes
@@ -814,8 +848,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             commit_task(seen_all, "seen")
             commit_task(cand_all, "candidates")
             # headroom so the following delta waves can fold keys in place
-            commit_task(sn.build_shards(seen_all, n_shards, headroom=2.0),
-                        "seen_shards", meta={"n_shards": n_shards, "filter_rev": sn.FILTER_REV})
+            commit_task(sn.build_shards(seen_all, ns_commit, headroom=2.0),
+                        "seen_shards", meta={"n_shards": ns_commit, "filter_rev": sn.FILTER_REV})
         else:
             # empty-delta skips: delta_agg told us exactly what changed.
             # A skipped table keeps its composed view from the last barrier
@@ -832,23 +866,24 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 commit_task(seen_delta, "seen", mode="delta")
             if n_enq:
                 commit_task(new_meta, "candidates", mode="delta")
-            if shards_df is None or stored_ns != n_shards:
+            if shards_df is None or stored_ns != ns_commit:
                 # no shard table yet (externally seeded store), a layout
-                # predating the n_shards metadata, or a resume with a
-                # DIFFERENT n_shards: incremental folds would OR keys into
-                # blobs laid out under the old modulus (persistent false
-                # negatives) — rebuild the whole table once under the
-                # current layout, O(seen) exactly once per layout change
-                commit_task(sn.build_shards(seen_all, n_shards, headroom=2.0),
-                            "seen_shards", meta={"n_shards": n_shards, "filter_rev": sn.FILTER_REV})
+                # predating the n_shards metadata, a resume with a
+                # DIFFERENT n_shards, or an auto-shards growth event:
+                # incremental folds would OR keys into blobs laid out
+                # under the old modulus (persistent false negatives) —
+                # rebuild the whole table once under the current layout,
+                # O(seen) exactly once per layout change
+                commit_task(sn.build_shards(seen_all, ns_commit, headroom=2.0),
+                            "seen_shards", meta={"n_shards": ns_commit, "filter_rev": sn.FILTER_REV})
             elif n_term:
                 # fold this wave's new keys into ONLY the shards they touch;
                 # untouched blobs are carried forward by the manifest, unread
                 commit_task(sn.update_shards(shards_df,
                                              seen_delta.select("url_hash"),
-                                             seen_all, n_shards, headroom=2.0),
+                                             seen_all, ns_commit, headroom=2.0),
                             "seen_shards", mode="delta", key=["shard_id"],
-                            meta={"n_shards": n_shards, "filter_rev": sn.FILTER_REV})
+                            meta={"n_shards": ns_commit, "filter_rev": sn.FILTER_REV})
 
         commit_task(metrics, "fetch_log")
         # A3 / north rule: per-partition lineage + fetch/parse metrics are

@@ -631,6 +631,57 @@ def test_resume_with_different_n_shards_rebuilds_layout(spark, pages,
         == list(range(8))
 
 
+def test_auto_shards_grows_layout_and_matches_reference(spark, pages,
+                                                        pages_dict, tmp_path):
+    """n_shards='auto' sizes the filter layout from the live seen count:
+    with a tiny per-shard target the layout must GROW across the crawl
+    (power-of-two rebuilds via the layout-change path), end at the size
+    auto_shard_count prescribes for the final seen set, and the catalog
+    must still match the reference exactly (probes use the stored layout,
+    so growth can never mis-route a candidate past the backstop)."""
+    from s_crawler_spark.operators.seen import auto_shard_count
+
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "auto"))
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards="auto",
+                shard_target_items=64)
+    assert_parity(cat.collect(), sim)
+    metas = [s["meta"].get("n_shards")
+             for s in store.snapshots("seen_shards")]
+    # grow-only, and it actually grew (500 seen keys / 64 per shard → 16)
+    assert all(a <= b for a, b in zip(metas, metas[1:]))
+    assert metas[0] < metas[-1]
+    n_seen = store.read(spark, "seen").count()
+    assert metas[-1] == auto_shard_count(n_seen, 64)
+    # the final committed layout spans its full id range (probe inference)
+    shards = store.read(spark, "seen_shards")
+    assert sorted(r["shard_id"] for r in
+                  shards.select("shard_id").distinct().collect()) \
+        == list(range(metas[-1]))
+
+
+def test_auto_shards_resume_keeps_stored_layout_when_no_growth(
+        spark, pages, pages_dict, tmp_path):
+    """Resuming an auto-shards crawl (or switching a fixed-layout store to
+    'auto') must not churn the layout downward: grow-only means a stored
+    modulus larger than the auto-derived one is kept, and no-growth waves
+    take the incremental touched-shard delta path, not a rebuild."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "fixed_then_auto"))
+    crawl(spark, pages, seed_search_url(), store,
+          wave_seconds=100, max_waves=2, n_shards=32)
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards="auto",
+                shard_target_items=10 ** 6)  # auto would say 1 — stored wins
+    assert_parity(cat.collect(), sim)
+    snaps = store.snapshots("seen_shards")
+    assert all(s["meta"].get("n_shards") == 32 for s in snaps)
+    # post-switch waves fold deltas against the kept layout (no rebuild:
+    # at least one later snapshot is delta-mode)
+    assert any(s.get("mode") == "delta" for s in snaps[1:])
+
+
 def test_crawl_with_no_matching_seed_terminates_gracefully(spark, tmp_path):
     """A corpus where nothing matches the seed listing: wave 0 commits
     EMPTY state (incl. the status-partitioned frontier) and the loop must
