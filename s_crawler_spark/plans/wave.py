@@ -277,7 +277,9 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
           adaptive_delay: bool = False,
           expire_keep: int | None = None,
           trap_guard: bool = False,
-          compact_every: int = 8,
+          compact_every: int | str = 8,
+          compact_frac_bp: int = 2500,
+          compact_chain_cap: int = 64,
           priority_df: DataFrame | None = None) -> DataFrame:
     """Run (or resume) a full crawl to completion. Every wave commits
     frontier / seen / seen_shards / articles / fetch_log snapshots; killing
@@ -351,11 +353,33 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     10^10 default posture: a crawl that outgrows its seed sizing by 1000×
     keeps ≤ target keys per blob with no retuning or manual resume.
 
+    ``compact_every="auto"`` replaces the fixed compaction cadence with the
+    LSM size-ratio policy: compact when the frontier delta chain's
+    accumulated rows reach ``compact_frac_bp`` basis points of the live
+    frontier (default 25%), or when the chain reaches
+    ``compact_chain_cap`` snapshots (bounds merge-on-read compose cost and
+    manifest length regardless of row ratio). A fixed cadence rewrites the
+    O(total) base every N waves — at a 10^10-row frontier with 10^6-row
+    waves that is ~10^9 rows/wave of amortized write amplification, which
+    re-creates the very cost the delta layer removed; the ratio policy
+    amortizes every compaction against the deltas that earned it, so total
+    compaction write volume is O(total × log) over the crawl's life
+    exactly like an LSM tree. Decision inputs are the incrementally-
+    maintained counters plus per-delta row counts recorded in the snapshot
+    manifest (``meta.n_delta``) — no extra scans — and a resumed crawl
+    re-seeds the chain statistics from the manifest, so the schedule is a
+    pure function of committed state (legacy delta snapshots without the
+    meta count as 0 rows; the chain cap still bounds them).
+
     Returns the final articles catalog in crawl order.
     """
     auto_shards = isinstance(n_shards, str)
     if auto_shards and n_shards != "auto":
         raise ValueError(f"n_shards must be an int or 'auto', got {n_shards!r}")
+    compact_auto = isinstance(compact_every, str)
+    if compact_auto and compact_every != "auto":
+        raise ValueError(
+            f"compact_every must be an int or 'auto', got {compact_every!r}")
     start_wave = 0
     frontier_df = catalog = seen_df = cand_store = policy_df = None
     trap_state_df = None  # per-host pending-backlog trap counts (trap_guard)
@@ -440,6 +464,21 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                     None, added=frontier_df.filter(
                         F.col("status") == fr.STATUS_PENDING)) \
                     .localCheckpoint(eager=False)  # 3 first-wave consumers
+
+    # auto-compaction chain statistics: length and accumulated row count of
+    # the frontier delta chain since the last full snapshot. Seeded from the
+    # committed manifest (per-delta row counts ride in meta.n_delta), then
+    # maintained in-process — the schedule is a pure function of committed
+    # state, so a resumed crawl compacts exactly where the uninterrupted
+    # one would. Legacy deltas without the meta count as 0 rows; the chain
+    # cap still bounds them.
+    chain_len = delta_since_full = 0
+    if compact_auto:
+        for s in reversed(store.snapshots("frontier")):
+            if s.get("mode", "full") != "delta":
+                break
+            chain_len += 1
+            delta_since_full += int(s.get("meta", {}).get("n_delta") or 0)
 
     meta_cols = ["url", "title", "doi", "journal", "publication_date", "authors"]
 
@@ -549,11 +588,16 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     for wave in range(start_wave, max_waves):
         logical_now = LOGICAL_T0 + timedelta(seconds=wave * wave_seconds)
         # wave 0 (or the first commit after an empty store) writes the base;
-        # every compact_every-th wave compacts the delta chain into a fresh
-        # full snapshot — absolute wave number, so a resumed crawl compacts
-        # on the same schedule it would have uninterrupted
-        is_full = (frontier_df is None or compact_every <= 1
-                   or wave % compact_every == 0 or frontier_needs_full)
+        # fixed cadence: every compact_every-th wave compacts the delta
+        # chain into a fresh full snapshot — absolute wave number, so a
+        # resumed crawl compacts on the same schedule it would have
+        # uninterrupted. "auto" leaves the decision provisional here and
+        # finalizes it after this wave's delta is counted (nothing between
+        # this point and the commit section reads is_full).
+        is_full = (frontier_df is None or frontier_needs_full
+                   or (not compact_auto
+                       and (compact_every <= 1
+                            or wave % compact_every == 0)))
 
         # --- discovery + enqueue (idempotent: seen-set dedups re-discovery) ---
         disc_fp = None
@@ -806,6 +850,19 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         else:
             ns_commit = n_shards
 
+        # auto-compaction: the LSM size-ratio trigger, finalized now that
+        # this wave's delta is counted. Compact when the chain's
+        # accumulated delta rows (including this wave's) reach
+        # compact_frac_bp of the live frontier — so every base rewrite is
+        # amortized against the deltas that earned it — or when the chain
+        # hits the hard cap that bounds merge-on-read compose cost. Pure
+        # counter arithmetic; no extra jobs.
+        if compact_auto and not is_full and n_delta:
+            total_rows = sum(status_counts.values())
+            is_full = (chain_len + 1 > compact_chain_cap
+                       or (delta_since_full + n_delta) * 10000
+                       >= total_rows * compact_frac_bp)
+
         # commit this wave's state (checkpoint = resumability) as ONE
         # multi-table transaction: the task list is built single-threaded
         # (all plan construction on the driver), then the per-table writes
@@ -857,9 +914,11 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             # pointer, not latest_wave — so sparse per-table wave numbering
             # is fine.
             if n_delta:
+                # n_delta in the manifest: the auto-compaction resume seed
+                # reads the chain's row counts from committed state
                 commit_task(frontier_delta, "frontier",
                             mode="delta", key=["url_hash"],
-                            meta={"rules_fp": rules_fp})
+                            meta={"rules_fp": rules_fp, "n_delta": n_delta})
             if n_done:
                 commit_task(new_articles, "articles", mode="delta")
             if n_term:
@@ -963,6 +1022,16 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
         # wave can never tear. Must precede expiry — expiring first could
         # drop the base a rollback of this very wave would need to compose.
         store.mark_wave_committed(wave)
+
+        # auto-compaction chain accounting for the NEXT wave's decision:
+        # a full resets the chain; a committed frontier delta extends it;
+        # a wave that skipped its frontier commit leaves it untouched
+        if compact_auto:
+            if is_full:
+                chain_len = delta_since_full = 0
+            elif n_delta:
+                chain_len += 1
+                delta_since_full += n_delta
 
         # wave barrier: state views now come from the committed snapshots —
         # but only tables this wave actually changed are re-read (re-reading

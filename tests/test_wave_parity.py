@@ -682,6 +682,52 @@ def test_auto_shards_resume_keeps_stored_layout_when_no_growth(
     assert any(s.get("mode") == "delta" for s in snaps[1:])
 
 
+def test_auto_compaction_chain_cap_and_parity(spark, pages, pages_dict,
+                                              tmp_path):
+    """compact_every='auto' with the ratio trigger disabled (huge
+    compact_frac_bp) must compact exactly on the chain cap: the frontier
+    snapshot sequence never carries more than compact_chain_cap
+    consecutive deltas, every delta's manifest records its row count
+    (the resume seed), and the catalog still matches the reference."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "autocompact"))
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards=4,
+                compact_every="auto", compact_frac_bp=10 ** 9,
+                compact_chain_cap=2)
+    assert_parity(cat.collect(), sim)
+    snaps = store.snapshots("frontier")
+    modes = [s.get("mode", "full") for s in snaps]
+    assert modes[0] == "full" and "delta" in modes and modes.count("full") >= 2
+    run = 0
+    for m in modes:
+        run = run + 1 if m == "delta" else 0
+        assert run <= 2
+    assert all(s["meta"].get("n_delta", 0) > 0
+               for s in snaps if s.get("mode") == "delta")
+
+
+def test_auto_compaction_resume_matches_uninterrupted_schedule(
+        spark, pages, pages_dict, tmp_path):
+    """The auto-compaction schedule is a pure function of committed state:
+    a crawl stopped at a wave boundary and resumed must compact on exactly
+    the waves the uninterrupted run compacts on (chain statistics re-seed
+    from the manifests' n_delta), and both end reference-exact."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    kw = dict(wave_seconds=100, n_shards=4, compact_every="auto",
+              compact_frac_bp=10 ** 9, compact_chain_cap=3)
+    st_a = SnapshotStore(str(tmp_path / "uninterrupted"))
+    cat_a = crawl(spark, pages, seed_search_url(), st_a, max_waves=30, **kw)
+    st_b = SnapshotStore(str(tmp_path / "resumed"))
+    crawl(spark, pages, seed_search_url(), st_b, max_waves=3, **kw)
+    cat_b = crawl(spark, pages, seed_search_url(), st_b, max_waves=30, **kw)
+    assert_parity(cat_a.collect(), sim)
+    assert_parity(cat_b.collect(), sim)
+    sig = lambda st: [(s["wave"], s.get("mode", "full"))
+                      for s in st.snapshots("frontier")]
+    assert sig(st_a) == sig(st_b)
+
+
 def test_crawl_with_no_matching_seed_terminates_gracefully(spark, tmp_path):
     """A corpus where nothing matches the seed listing: wave 0 commits
     EMPTY state (incl. the status-partitioned frontier) and the loop must
