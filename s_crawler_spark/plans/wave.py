@@ -272,6 +272,7 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
           n_shards: int | str = 8,
           max_waves: int = 50,
           shard_target_items: int = sn.SHARD_TARGET_ITEMS,
+          filter_kind: str = "bloom",
           salt_buckets: int | None = None,
           resume: bool = True,
           adaptive_delay: bool = False,
@@ -371,11 +372,24 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
     pure function of committed state (legacy delta snapshots without the
     meta count as 0 rows; the chain cap still bounds them).
 
+    ``filter_kind`` selects the seen-filter kernel for NEW shard builds:
+    ``"bloom"`` (default — densest at pure-membership workloads) or
+    ``"cuckoo"`` (same probe surface, supports deletion for re-crawl
+    eviction). Incremental folds always honor each stored blob's OWN kind
+    (operators/seen.update_shards), so resuming an existing store with a
+    different ``filter_kind`` only switches kinds at the next full
+    rebuild (layout change or compaction) — never by corrupting an
+    existing blob. Either kind is exact end-to-end: the probe is advisory
+    and the exact anti-join backstop is unchanged.
+
     Returns the final articles catalog in crawl order.
     """
     auto_shards = isinstance(n_shards, str)
     if auto_shards and n_shards != "auto":
         raise ValueError(f"n_shards must be an int or 'auto', got {n_shards!r}")
+    if filter_kind not in ("bloom", "cuckoo"):
+        raise ValueError(
+            f"filter_kind must be 'bloom' or 'cuckoo', got {filter_kind!r}")
     compact_auto = isinstance(compact_every, str)
     if compact_auto and compact_every != "auto":
         raise ValueError(
@@ -905,7 +919,8 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
             commit_task(seen_all, "seen")
             commit_task(cand_all, "candidates")
             # headroom so the following delta waves can fold keys in place
-            commit_task(sn.build_shards(seen_all, ns_commit, headroom=2.0),
+            commit_task(sn.build_shards(seen_all, ns_commit, headroom=2.0,
+                                        kind=filter_kind),
                         "seen_shards", meta={"n_shards": ns_commit, "filter_rev": sn.FILTER_REV})
         else:
             # empty-delta skips: delta_agg told us exactly what changed.
@@ -933,14 +948,16 @@ def crawl(spark: SparkSession, pages: DataFrame, seed_url: str,
                 # under the old modulus (persistent false negatives) —
                 # rebuild the whole table once under the current layout,
                 # O(seen) exactly once per layout change
-                commit_task(sn.build_shards(seen_all, ns_commit, headroom=2.0),
+                commit_task(sn.build_shards(seen_all, ns_commit, headroom=2.0,
+                                        kind=filter_kind),
                             "seen_shards", meta={"n_shards": ns_commit, "filter_rev": sn.FILTER_REV})
             elif n_term:
                 # fold this wave's new keys into ONLY the shards they touch;
                 # untouched blobs are carried forward by the manifest, unread
                 commit_task(sn.update_shards(shards_df,
                                              seen_delta.select("url_hash"),
-                                             seen_all, ns_commit, headroom=2.0),
+                                             seen_all, ns_commit, headroom=2.0,
+                                             kind=filter_kind),
                             "seen_shards", mode="delta", key=["shard_id"],
                             meta={"n_shards": ns_commit, "filter_rev": sn.FILTER_REV})
 

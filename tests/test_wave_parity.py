@@ -682,6 +682,24 @@ def test_auto_shards_resume_keeps_stored_layout_when_no_growth(
     assert any(s.get("mode") == "delta" for s in snaps[1:])
 
 
+def test_cuckoo_filter_kind_crawl_exact_and_incremental(spark, pages,
+                                                        pages_dict, tmp_path):
+    """crawl(filter_kind='cuckoo') must be reference-exact end-to-end (the
+    probe is advisory either way — the exact backstop decides), commit
+    cuckoo-kind blobs, and still take the touched-shard incremental path
+    on non-compaction waves (update_shards honors the stored kind)."""
+    sim, _ = simulate_crawl(pages_dict, seed_search_url(), max_count=10**9)
+    store = SnapshotStore(str(tmp_path / "ck"))
+    cat = crawl(spark, pages, seed_search_url(), store,
+                wave_seconds=100, max_waves=30, n_shards=4,
+                filter_kind="cuckoo")
+    assert_parity(cat.collect(), sim)
+    shards = store.read(spark, "seen_shards").collect()
+    assert shards and all(r["kind"] == "cuckoo" for r in shards)
+    assert any(s.get("mode") == "delta"
+               for s in store.snapshots("seen_shards"))
+
+
 def test_auto_compaction_chain_cap_and_parity(spark, pages, pages_dict,
                                               tmp_path):
     """compact_every='auto' with the ratio trigger disabled (huge
