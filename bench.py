@@ -110,6 +110,7 @@ def main() -> None:
     bench("dedup_minhash_lsh", lambda: _noop_write(
         td.minhash_lsh_pairs(docs.filter(F.col("doc_id") < 2000), threshold=0.7)))
     bench("dedup_simhash", lambda: _noop_write(td.simhash_table(docs)))
+    bench("dedup_substring", lambda: _noop_write(td.duplicated_spans(docs)))
     bench("text_quality", lambda: _noop_write(tstats.quality_table(docs)))
     bench("lang_id", lambda: _noop_write(tstats.lang_id_table(docs)))
     bench("doc_fingerprint", lambda: _noop_write(tstats.fingerprint_table(docs)))

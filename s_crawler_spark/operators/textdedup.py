@@ -24,7 +24,7 @@ no Python UDFs anywhere in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.texthash import MERSENNE_31, md5_hash60, perm_coeffs
@@ -223,6 +223,78 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         .filter(F.col("n_inter") * 10000 >= F.lit(int(threshold * 10000)) * F.col("n_union"))
         .select("a_id", "b_id", "n_inter", "n_union")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact repeated-substring coverage (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL 2022 — the substring-level rung
+# of the dedup ladder: a doc pair can share a long verbatim passage while
+# being document-level unique under every operator above)
+# --------------------------------------------------------------------------
+
+DUP_SPAN_N = 20  # minimum duplicated run, in word tokens
+
+
+def duplicated_spans(docs: DataFrame, n: int = DUP_SPAN_N,
+                     min_count: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document coverage of word spans duplicated across the corpus.
+
+    A position is DUPLICATED when the ``n``-gram starting there occurs at
+    least ``min_count`` times corpus-wide (within-doc repeats count — the
+    Lee et al. semantic: any repeated substring, wherever its twin lives).
+    Overlapping/adjacent duplicated grams merge into maximal spans
+    (gaps-and-islands: every marked start extends coverage to pos + n, so
+    a new span begins only when a start exceeds the previous start by
+    more than n). Returns (doc_id, n_tokens, n_spans, dup_tokens,
+    dup_token_bp) for EVERY document — clean docs carry zeros — ready to
+    drive the standard "drop or trim documents past X% duplicated"
+    filter. Integer basis points; exact SQL oracle.
+
+    Scale shape: the occurrence table is (doc_id, pos, hash64) — one
+    id-only row per token position, never gram STRINGS past the map side
+    (the hash is computed inside the scan projection). Three key-hash
+    shuffles, all id-sized: the corpus-wide gram count (map-side partial
+    agg on the 64-bit hash), the mark join back (hash → positions), and
+    the per-doc window (positions sort within their own document). No
+    all-pairs stage, no suffix array — the n-gram-anchor relaxation of
+    the paper's suffix automaton, exact for runs ≥ n by construction
+    (every duplicated run of length L ≥ n is covered by its L - n + 1
+    duplicated starts; runs < n are invisible, the operator's documented
+    resolution floor)."""
+    from .textstats import _word_grams
+
+    w = words(F.col(text_col))
+    grams = F.transform(_word_grams(w, n), md5_hash60)
+    occ = (docs.select(F.col(id_col),
+                       F.posexplode(grams).alias("pos", "gh")))
+    dup = (occ.groupBy("gh").agg(F.count("*").alias("__c"))
+           .filter(F.col("__c") >= min_count).select("gh"))
+    marked = occ.join(dup, "gh").select(id_col, "pos")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    isl = (marked
+           .withColumn("__prev", F.lag("pos").over(wd))
+           .withColumn("__new",
+                       F.when(F.col("__prev").isNull()
+                              | (F.col("pos") > F.col("__prev") + n),
+                              1).otherwise(0))
+           .withColumn("__isl", F.sum("__new").over(
+               wd.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = isl.groupBy(id_col, "__isl").agg(
+        F.min("pos").alias("__s"),
+        (F.max("pos") + F.lit(n)).alias("__e"))
+    perdoc = spans.groupBy(id_col).agg(
+        F.sum(F.col("__e") - F.col("__s")).alias("dup_tokens"),
+        F.count("*").alias("n_spans"))
+    alldocs = docs.select(F.col(id_col), F.size(w).alias("n_tokens"))
+    return (alldocs.join(perdoc, id_col, "left")
+            .select(
+                id_col, "n_tokens",
+                F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"))
+            .withColumn("dup_token_bp", F.expr(
+                "(dup_tokens * 10000) div n_tokens")))
 
 
 # --------------------------------------------------------------------------

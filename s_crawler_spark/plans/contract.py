@@ -760,6 +760,47 @@ def _sql_simhash() -> str:
             f"SELECT doc_id, ({bits})::BIGINT AS simhash FROM base")
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2022): per-document coverage of
+    word spans whose 20-grams occur >= 2 times corpus-wide, merged to
+    maximal spans — the rung below document/near-dup dedup (two unique
+    documents can still share a verbatim passage). Oracle replays the
+    same md5-60 gram hashing, the same corpus-wide count, and the same
+    gaps-and-islands merge relationally."""
+    return td.duplicated_spans(_docs(spark, sf_dir))
+
+
+def _sql_dedup_substring() -> str:
+    n = td.DUP_SPAN_N
+    gh = sql_hash60(f"array_to_string(w[i:i+{n - 1}], ' ')")
+    return f"""
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+o AS (SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(w) - {n - 1}),
+        i -> struct_pack(pos := i - 1, gh := {gh}))) AS u FROM w),
+occ AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM o),
+dup AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+m AS (SELECT occ.doc_id, occ.pos FROM occ JOIN dup USING (gh)),
+f AS (SELECT doc_id, pos,
+        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {n}
+             THEN 1 ELSE 0 END AS nw
+      FROM m),
+i AS (SELECT doc_id, pos, sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS isl FROM f),
+sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + {n} AS e
+       FROM i GROUP BY 1, 2),
+pd AS (SELECT doc_id, sum(e - s)::BIGINT AS dup_tokens,
+              count(*) AS n_spans FROM sp GROUP BY 1),
+t AS (SELECT doc_id, len(w) AS n_tokens FROM w)
+SELECT t.doc_id, n_tokens,
+       coalesce(n_spans, 0)::BIGINT AS n_spans,
+       coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+       (coalesce(dup_tokens, 0)::BIGINT * 10000) // n_tokens AS dup_token_bp
+FROM t LEFT JOIN pd USING (doc_id)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-heuristic language ID with per-language scores."""
     return ts.lang_id_table(_docs(spark, sf_dir))
@@ -1986,6 +2027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_substring": q_dedup_substring,
     "lang_id": q_lang_id,
     "text_quality": q_text_quality,
     "token_stats": q_token_stats,
@@ -2056,6 +2098,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_ngram": SQL_DEDUP_NGRAM,
         "dedup_minhash_lsh": _sql_minhash(),
         "dedup_simhash": _sql_simhash(),
+        "dedup_substring": _sql_dedup_substring(),
         "lang_id": _sql_lang_id(),
         "text_quality": _sql_text_quality(),
         "token_stats": SQL_TOKEN_STATS,

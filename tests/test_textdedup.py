@@ -134,3 +134,72 @@ def test_clusters_min_wins_matches_exact_dedup_rule(spark):
     # two components with interleaved ids; root is always the min id
     got = _clusters(spark, [(9, 3), (3, 7), (8, 2), (2, 6)])
     assert got == {3: 3, 7: 3, 9: 3, 2: 2, 6: 2, 8: 2}
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans (exact repeated-substring coverage)
+# ---------------------------------------------------------------------------
+
+def _spans(spark, docs, n=4, min_count=2):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict()
+            for r in td.duplicated_spans(df, n=n, min_count=min_count).collect()}
+
+
+def test_duplicated_spans_shared_passage(spark):
+    # docs 1 and 2 share an 6-word passage inside otherwise-unique text;
+    # doc 3 is clean. n=4 ⇒ the shared run is covered by its 3 duplicated
+    # 4-gram starts, merging to ONE span of exactly the passage length.
+    shared = "alpha beta gamma delta epsilon zeta"
+    got = _spans(spark, [
+        (1, f"one two three {shared} four five"),
+        (2, f"six seven {shared} eight nine ten"),
+        (3, "completely unique words with no repeats at all here"),
+    ])
+    assert got[1]["n_spans"] == 1 and got[1]["dup_tokens"] == 6
+    assert got[2]["n_spans"] == 1 and got[2]["dup_tokens"] == 6
+    assert got[3]["n_spans"] == 0 and got[3]["dup_token_bp"] == 0
+    assert got[1]["dup_token_bp"] == 6 * 10000 // got[1]["n_tokens"]
+
+
+def test_duplicated_spans_merge_two_overlapping_runs(spark):
+    # two shared passages ADJACENT in doc 1 merge into one span there,
+    # while they sit apart in docs 2/3 (one span each)
+    a, b = "p q r s", "w x y z"
+    got = _spans(spark, [
+        (1, f"{a} {b} filler0 filler1 filler2"),
+        (2, f"lead0 lead1 {a} tail0 tail1 tail2"),
+        (3, f"m0 m1 m2 {b} m3 m4 m5"),
+    ])
+    assert got[1]["n_spans"] == 1 and got[1]["dup_tokens"] == 8
+    assert got[2]["n_spans"] == 1 and got[2]["dup_tokens"] == 4
+    assert got[3]["n_spans"] == 1 and got[3]["dup_tokens"] == 4
+
+
+def test_duplicated_spans_within_doc_repeat_counts(spark):
+    # the SAME 4-gram appearing twice inside one doc is a corpus-wide
+    # count of 2 — both occurrences are duplicated (Lee et al. semantics)
+    got = _spans(spark, [
+        (1, "a b c d mid0 mid1 a b c d end0"),
+        (2, "totally different text goes right here now"),
+    ])
+    assert got[1]["n_spans"] == 2 and got[1]["dup_tokens"] == 8
+    assert got[2]["n_spans"] == 0
+
+
+def test_duplicated_spans_exact_copy_full_coverage(spark):
+    text = "u1 u2 u3 u4 u5 u6 u7 u8"
+    got = _spans(spark, [(1, text), (2, text)])
+    for d in (1, 2):
+        assert got[d]["dup_tokens"] == 8
+        assert got[d]["dup_token_bp"] == 10000
+
+
+def test_duplicated_spans_runs_shorter_than_n_invisible(spark):
+    # a 3-word shared run cannot contain any duplicated 4-gram —
+    # the documented resolution floor
+    got = _spans(spark, [
+        (1, "k1 k2 k3 shared1 shared2 shared3 k4 k5"),
+        (2, "j1 j2 shared1 shared2 shared3 j3 j4 j5"),
+    ])
+    assert got[1]["n_spans"] == 0 and got[2]["n_spans"] == 0
